@@ -1,0 +1,75 @@
+"""Smoothers for the multigrid cycle: weighted Jacobi and red-black Gauss-Seidel.
+
+The reference provides a lexicographic Gauss-Seidel sweep
+(/root/reference/include/mad/itkMultigridGaussSeidelSmoother.hxx:33-111) and a
+damped Jacobi sweep (itkMultigridWeightedJacobiSmoother.hxx:33-102, default
+weight 2/3).  Lexicographic GS is inherently sequential — one voxel per step —
+so the TPU-native Gauss-Seidel uses *red-black coloring*: two half-sweeps, each
+a fully parallel stencil update over one parity class using the freshest values
+of the other.  For the 9/19-point DCA stencil the diagonal couplings connect
+same-color cells, so colored GS is not algebraically identical to
+lexicographic GS; the observable contract of the reference tests (drive the
+relative residual below tolerance) is preserved, and the smoothing factor is
+comparable.
+
+Both smoothers and the residual are expressed as the fixed K-term stencil
+contraction from :mod:`..core.stencil`, which XLA fuses into a handful of
+VPU passes over HBM-resident planes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.stencil import StencilOperator, offdiag_apply, apply_stencil
+
+#: Default damping for weighted Jacobi (itkMultigridWeightedJacobiSmoother.hxx:189).
+DEFAULT_JACOBI_WEIGHT = 2.0 / 3.0
+
+
+def parity_mask(shape: Tuple[int, ...], dtype=jnp.bool_) -> jnp.ndarray:
+    """Checkerboard mask: True where the index-sum is even ("red" points)."""
+    acc = None
+    for d, s in enumerate(shape):
+        ids = jax.lax.broadcasted_iota(jnp.int32, shape, d)
+        acc = ids if acc is None else acc + ids
+    return (acc % 2 == 0).astype(dtype) if dtype != jnp.bool_ else (acc % 2 == 0)
+
+
+def jacobi_sweep(
+    op: StencilOperator,
+    x: jnp.ndarray,
+    b: jnp.ndarray,
+    omega: float = DEFAULT_JACOBI_WEIGHT,
+) -> jnp.ndarray:
+    """One damped-Jacobi sweep:
+    ``x' = (1-w) x + w (b - offdiag(A) x) / diag(A)``."""
+    return (1.0 - omega) * x + omega * (b - offdiag_apply(op, x)) / op.diag
+
+
+def rb_gauss_seidel_sweep(
+    op: StencilOperator, x: jnp.ndarray, b: jnp.ndarray
+) -> jnp.ndarray:
+    """One red-black Gauss-Seidel sweep (red half-sweep then black)."""
+    red = parity_mask(op.shape)
+    diag = op.diag
+    for color in (True, False):
+        x_gs = (b - offdiag_apply(op, x)) / diag
+        x = jnp.where(red == color, x_gs, x)
+    return x
+
+
+def make_smoother(kind: str, omega: float = DEFAULT_JACOBI_WEIGHT):
+    """Return ``smooth(op, x, b) -> x'`` for the named smoother.
+
+    ``kind``: 'gauss_seidel' (red-black) or 'weighted_jacobi'.
+    """
+    if kind in ("gauss_seidel", "gs", "rbgs"):
+        return rb_gauss_seidel_sweep
+    if kind in ("weighted_jacobi", "wj", "jacobi"):
+        return functools.partial(jacobi_sweep, omega=omega)
+    raise ValueError(f"unknown smoother kind: {kind!r}")
