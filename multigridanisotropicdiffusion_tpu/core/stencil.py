@@ -162,14 +162,14 @@ def densify(op: StencilOperator) -> jnp.ndarray:
     Row/column order is C-order (last axis fastest) over the grid; entries
     whose column index falls outside the grid are dropped, mirroring the
     reference DirectSolver matrix build (itkDirectSolver.hxx:55-79).  Intended
-    only for the tiny coarsest level (every dim in [6, 11]).
+    only for the tiny coarsest level (every dim in [6, 11]).  Index arrays are
+    static (computed at trace time), so this is jittable: K small scatters.
     """
     import numpy as np
 
     shape = op.shape
     n = int(np.prod(shape))
-    coeffs = np.asarray(op.coeffs)
-    a = np.zeros((n, n), dtype=coeffs.dtype)
+    a = jnp.zeros((n, n), dtype=op.coeffs.dtype)
     lex = np.arange(n).reshape(shape)
     for k, off in enumerate(op.offsets):
         row_sl = tuple(
@@ -180,5 +180,5 @@ def densify(op: StencilOperator) -> jnp.ndarray:
         )
         rows = lex[row_sl].ravel()
         cols = lex[col_sl].ravel()
-        a[rows, cols] = coeffs[k][row_sl].ravel()
-    return jnp.asarray(a)
+        a = a.at[rows, cols].set(op.coeffs[k][row_sl].reshape(-1))
+    return a

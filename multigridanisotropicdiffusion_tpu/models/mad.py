@@ -72,6 +72,32 @@ class MADConfig:
             raise ValueError(f"unknown coarse operator: {self.coarse_operator!r}")
 
 
+def as_component_first(tensor, shape: Tuple[int, ...]):
+    """Canonicalize a symmetric tensor field to the internal component-first
+    layout ``(D, D, *shape)``.
+
+    Accepts either ``(D, D, *shape)`` (preferred — TPU tiles the trailing two
+    dims, so spatial dims must be last) or the numpy-friendly
+    ``(*shape, D, D)``, which is transposed host-side when possible (a
+    device-resident trailing-(D, D) array would already be catastrophically
+    padded on TPU).
+    """
+    import numpy as np
+
+    ndim = len(shape)
+    t_shape = tuple(tensor.shape)
+    if t_shape == (ndim, ndim, *shape):
+        return tensor
+    if t_shape == (*shape, ndim, ndim):
+        if isinstance(tensor, np.ndarray):
+            return np.ascontiguousarray(np.moveaxis(tensor, (-2, -1), (0, 1)))
+        return jnp.moveaxis(tensor, (-2, -1), (0, 1))
+    raise ValueError(
+        f"tensor shape {t_shape} does not match image shape {shape}: expected "
+        f"{(ndim, ndim, *shape)} (component-first) or {(*shape, ndim, ndim)}"
+    )
+
+
 class Hierarchy(NamedTuple):
     """Device-resident multigrid setup products: one stencil operator per
     level plus the cached coarsest-level LU factorization."""
@@ -106,6 +132,10 @@ def build_hierarchy(
     return Hierarchy(operators=tuple(ops), solver=solver)
 
 
+def _no_constraint(level: int, x: jnp.ndarray) -> jnp.ndarray:
+    return x
+
+
 def v_cycle(
     hier: Hierarchy,
     levels: Tuple[GridLevel, ...],
@@ -114,15 +144,17 @@ def v_cycle(
     x: jnp.ndarray,
     b: jnp.ndarray,
     level: int = 0,
+    constrain=_no_constraint,
 ) -> jnp.ndarray:
     """One V-cycle starting at ``level`` (reference VCycle, .hxx:341-493).
 
     At the coarsest level the initial guess is ignored and the rhs is solved
-    directly (.hxx:356-370).
+    directly (.hxx:356-370).  ``constrain(level, array)`` optionally pins the
+    per-level sharding (SPMD distribution / coarse-grid agglomeration).
     """
     coarsest = len(levels) - 1
     if level == coarsest:
-        return coarse_solve(hier.solver, b)
+        return constrain(level, coarse_solve(hier.solver, b))
 
     op = hier.operators[level]
     for _ in range(iterations_per_grid):
@@ -130,11 +162,12 @@ def v_cycle(
     r = residual(op, x, b)
 
     child_centering = levels[level + 1].centering
-    rc = restrict(r, child_centering)
+    rc = constrain(level + 1, restrict(r, child_centering))
     ec = v_cycle(
-        hier, levels, smooth, iterations_per_grid, jnp.zeros_like(rc), rc, level + 1
+        hier, levels, smooth, iterations_per_grid, jnp.zeros_like(rc), rc,
+        level + 1, constrain,
     )
-    x = x + prolong(ec, child_centering)
+    x = constrain(level, x + prolong(ec, child_centering))
 
     for _ in range(iterations_per_grid):
         x = smooth(op, x, b)
@@ -148,21 +181,22 @@ def full_multigrid(
     iterations_per_grid: int,
     b: jnp.ndarray,
     level: int = 0,
+    constrain=_no_constraint,
 ) -> jnp.ndarray:
     """Full multigrid initialization (reference FullMultiGrid, .hxx:300-338)."""
     coarsest = len(levels) - 1
     if level == coarsest:
         x = jnp.zeros_like(b)
         for _ in range(iterations_per_grid):
-            x = v_cycle(hier, levels, smooth, iterations_per_grid, x, b, level)
+            x = v_cycle(hier, levels, smooth, iterations_per_grid, x, b, level, constrain)
         return x
 
     child_centering = levels[level + 1].centering
-    bc = restrict(b, child_centering)
-    xc = full_multigrid(hier, levels, smooth, iterations_per_grid, bc, level + 1)
-    x = prolong(xc, child_centering)
+    bc = constrain(level + 1, restrict(b, child_centering))
+    xc = full_multigrid(hier, levels, smooth, iterations_per_grid, bc, level + 1, constrain)
+    x = constrain(level, prolong(xc, child_centering))
     for _ in range(iterations_per_grid):
-        x = v_cycle(hier, levels, smooth, iterations_per_grid, x, b, level)
+        x = v_cycle(hier, levels, smooth, iterations_per_grid, x, b, level, constrain)
     return x
 
 
@@ -182,6 +216,7 @@ def _solve_time_step(
     levels: Tuple[GridLevel, ...],
     config: MADConfig,
     b: jnp.ndarray,
+    constrain=_no_constraint,
 ):
     """One implicit time step: iterate cycles until the relative L2 residual
     falls below tolerance or max_cycles is hit (do-while, .hxx:207-246)."""
@@ -189,17 +224,22 @@ def _solve_time_step(
     op0 = hier.operators[0]
     dtype = b.dtype
 
+    b = constrain(0, b)
     rhs_norm = l2_norm(b)
 
     if config.cycle == FMG:
-        x0 = full_multigrid(hier, levels, smooth, config.iterations_per_grid, b)
+        x0 = full_multigrid(
+            hier, levels, smooth, config.iterations_per_grid, b, 0, constrain
+        )
     else:
         x0 = b  # previous step's solution as initial guess (.hxx:180-201)
 
     def one_cycle(x):
         if config.cycle == SMOOTHER:
             return smooth(op0, x, b)
-        return v_cycle(hier, levels, smooth, config.iterations_per_grid, x, b)
+        return v_cycle(
+            hier, levels, smooth, config.iterations_per_grid, x, b, 0, constrain
+        )
 
     def cond(carry):
         x, k, relres, hist = carry
@@ -218,10 +258,10 @@ def _solve_time_step(
     return x, k, relres, hist
 
 
-def _solve_all_steps(hier, levels, config, b):
+def _solve_all_steps(hier, levels, config, b, constrain=_no_constraint):
     hists, counts, finals = [], [], []
     for _ in range(config.number_of_steps):
-        b, k, relres, hist = _solve_time_step(hier, levels, config, b)
+        b, k, relres, hist = _solve_time_step(hier, levels, config, b, constrain)
         hists.append(hist)
         counts.append(k)
         finals.append(relres)
@@ -233,10 +273,47 @@ def _solve_all_steps(hier, levels, config, b):
     )
 
 
+def _make_constraint(mesh, levels: Tuple[GridLevel, ...], min_local: int):
+    """Per-level sharding constraint: block-partition fine levels over the
+    mesh, replicate agglomerated coarse levels (see parallel.sharding)."""
+    if mesh is None:
+        return _no_constraint
+    from ..parallel.sharding import field_sharding
+
+    shardings = tuple(
+        field_sharding(mesh, lvl.shape, min_local) for lvl in levels
+    )
+
+    def constrain(level, x):
+        return jax.lax.with_sharding_constraint(x, shardings[level])
+
+    return constrain
+
+
 @functools.lru_cache(maxsize=32)
-def _compiled_solver(levels: Tuple[GridLevel, ...], config: MADConfig):
+def _compiled_hierarchy_builder(
+    levels: Tuple[GridLevel, ...], time_step: float, coarse_operator: str
+):
+    """Jitted setup: tensor -> Hierarchy (DCA assembly at every level, tensor
+    restriction chain, dense coarsest LU) as one compiled program."""
+
+    def build(tensor):
+        return build_hierarchy(tensor, levels, time_step, coarse_operator)
+
+    return jax.jit(build)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_solver(
+    levels: Tuple[GridLevel, ...],
+    config: MADConfig,
+    mesh=None,
+    min_local: int = 8,
+):
+    constrain = _make_constraint(mesh, levels, min_local)
+
     def run(hier, b):
-        return _solve_all_steps(hier, levels, config, b)
+        return _solve_all_steps(hier, levels, config, b, constrain)
 
     return jax.jit(run)
 
@@ -248,6 +325,8 @@ def mad_diffusion(
     config: MADConfig | None = None,
     dtype=None,
     hierarchy: Hierarchy | None = None,
+    mesh=None,
+    min_local: int = 8,
 ) -> MADResult:
     """Run the full MAD filter: setup + ``number_of_steps`` implicit steps.
 
@@ -261,6 +340,11 @@ def mad_diffusion(
         else float32; the reference computes in double).
       hierarchy: optionally reuse a prebuilt :class:`Hierarchy` (e.g. across
         repeated solves with the same tensor, as the VED filter does).
+      mesh: optional ``jax.sharding.Mesh`` with spatial axes ('x', 'y'[, 'z']);
+        when given, the solve is SPMD-distributed: fine levels block-partitioned
+        over the mesh (XLA inserts halo exchanges), levels whose per-device
+        block would drop below ``min_local`` points per axis replicated
+        (coarse-grid agglomeration).
     """
     config = config or MADConfig()
     if dtype is None:
@@ -268,18 +352,21 @@ def mad_diffusion(
 
     shape = tuple(image.shape)
     ndim = len(shape)
-    if tensor.shape != (*shape, ndim, ndim):
-        raise ValueError(
-            f"tensor shape {tuple(tensor.shape)} does not match image: expected "
-            f"{(*shape, ndim, ndim)} (per-voxel symmetric {ndim}x{ndim} tensors)"
-        )
+    tensor = as_component_first(tensor, shape)
     levels = build_level_descriptors(shape, spacing)
     b = jnp.asarray(image, dtype)
 
     if hierarchy is None:
-        hierarchy = build_hierarchy(
-            jnp.asarray(tensor, dtype), levels, config.time_step, config.coarse_operator
+        builder = _compiled_hierarchy_builder(
+            levels, config.time_step, config.coarse_operator
         )
+        hierarchy = builder(jnp.asarray(tensor, dtype))
 
-    solver = _compiled_solver(levels, config)
+    if mesh is not None:
+        from ..parallel.sharding import shard_field, shard_hierarchy
+
+        hierarchy = shard_hierarchy(hierarchy, levels, mesh, min_local)
+        b = shard_field(b, mesh, min_local)
+
+    solver = _compiled_solver(levels, config, mesh, min_local)
     return solver(hierarchy, b)

@@ -1,0 +1,244 @@
+"""Vesselness-enhancing diffusion (VED, Manniesing et al.).
+
+TPU-native counterpart of ``itk::VEDMultigridImageFilter``
+(/root/reference/include/itkVEDMultigridImageFilter.h:87-106, .hxx:34-402):
+per outer iteration,
+
+1. for each scale sigma: Gaussian Hessian (scale-normalized), per-voxel 3x3
+   eigendecomposition, Frangi-style vesselness; keep the best response over
+   scales together with its eigenvectors (.hxx:215-299),
+2. assemble the anisotropic diffusion tensor ``T = Q D Q^T`` with
+   ``D = diag(1+(eps-1)V, 1+(eps-1)V, 1+(omega-1)V)`` where
+   ``V = response^(1/sensitivity)``, identity where ``V <= 0`` (.hxx:302-378),
+3. run ``diffusion_iterations`` implicit MAD steps with that tensor
+   (.hxx:381-402).
+
+Everything except the MAD solve itself is one fused elementwise pipeline over
+the volume: separable Hessian convolutions, the analytic eigensolver from
+:mod:`..ops.eigen3` (no per-voxel vnl solves), vesselness and tensor assembly
+— a single jitted program per (shape, config).
+
+Faithful reference quirks preserved:
+
+* vesselness uses eigenvalues sorted by |value| ascending, but the stored
+  eigenvector frame ``Q`` keeps vnl's *value*-ascending order (.hxx:262-283 —
+  the eigenvalues are re-sorted by magnitude, the vectors are not), so the
+  ``omega`` (vessel-axis) weight lands on the largest signed eigenvalue's
+  direction,
+* the first scale always initializes the running maximum, even with zero
+  vesselness (.hxx:272).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.grids import build_level_descriptors
+from ..ops.eigen3 import eigh3, sort_by_abs3, sym_planes_from_matrix
+from ..ops.hessian import hessian
+from .mad import MADConfig, MADResult, VCYCLE, build_hierarchy, mad_diffusion
+
+
+@dataclasses.dataclass(frozen=True)
+class VEDConfig:
+    """Parameters mirroring the reference's setters and defaults
+    (itkVEDMultigridImageFilter.hxx:34-60)."""
+
+    alpha: float = 0.5
+    beta: float = 0.5
+    gamma: float = 5.0
+    epsilon: float = 0.01
+    omega: float = 5.0
+    sensitivity: float = 10.0
+    iterations: int = 1
+    diffusion_iterations: int = 5
+    scales: Tuple[float, ...] = (0.300, 0.482, 0.775, 1.245, 2.000)
+    # MAD passthroughs (defaults per the VED ctor, not the MAD ctor).
+    cycle: str = VCYCLE
+    time_step: float = 0.1
+    tolerance: float = 1e-6
+    diffusion_iterations_per_grid: int = 2
+    smoother: str = "gauss_seidel"
+    max_cycles: int = 100  # hardcoded in DiffusionStep (.hxx:396)
+
+    def mad_config(self) -> MADConfig:
+        return MADConfig(
+            time_step=self.time_step,
+            number_of_steps=self.diffusion_iterations,
+            cycle=self.cycle,
+            iterations_per_grid=self.diffusion_iterations_per_grid,
+            tolerance=self.tolerance,
+            max_cycles=self.max_cycles,
+            smoother=self.smoother,
+        )
+
+
+def vesselness_measure(
+    eigenvalues,
+    alpha: float,
+    beta: float,
+    gamma: float,
+) -> jnp.ndarray:
+    """Frangi-style vesselness from |value|-ascending eigenvalue planes
+    ``(l1, l2, l3)`` (reference VesselnessFunction, .hxx:176-212, including the
+    smooth factor with c = 1e-5).  Zero wherever lambda2 >= 0 or lambda3 >= 0."""
+    l1, l2, l3 = eigenvalues
+    dtype = l1.dtype
+
+    bright_tube = jnp.logical_and(l2 < 0, l3 < 0)
+
+    smooth_c = jnp.asarray(1e-5, dtype)
+    l2_safe = jnp.where(bright_tube, l2, -1.0)
+    l3_safe = jnp.where(bright_tube, l3, -1.0)
+
+    ra2 = (l2_safe * l2_safe) / (l3_safe * l3_safe)
+    rb2 = (l1 * l1) / jnp.abs(l2_safe * l3_safe)
+    s2 = l1 * l1 + l2 * l2 + l3 * l3
+
+    smooth = jnp.exp(
+        -(2.0 * smooth_c * smooth_c) / (jnp.abs(l2_safe) * l3_safe * l3_safe)
+    )
+    v = (
+        smooth
+        * (1.0 - jnp.exp(-ra2 / (2.0 * alpha * alpha)))
+        * jnp.exp(-rb2 / (2.0 * beta * beta))
+        * (1.0 - jnp.exp(-s2 / (2.0 * gamma * gamma)))
+    )
+    return jnp.where(bright_tube, v, 0.0)
+
+
+def max_vesselness_over_scales(
+    u: jnp.ndarray,
+    scales: Sequence[float],
+    spacing: Sequence[float],
+    alpha: float,
+    beta: float,
+    gamma: float,
+):
+    """Best vesselness response over scales and the eigenvector frame of the
+    winning scale (reference UpdateVesselness).
+
+    Returns ``(response, q)`` where ``q[i][j]`` is the component-``i`` plane of
+    the ``j``-th (value-ascending) eigenvector — struct-of-planes, never an
+    ``(..., 3, 3)`` array (TPU trailing-dim tiling).
+    """
+    best_resp = None
+    best_q = None
+    for sigma in scales:
+        h = hessian(u, sigma, spacing, normalize_across_scale=True)
+        w, q = eigh3(sym_planes_from_matrix(h))
+        resp = vesselness_measure(sort_by_abs3(w), alpha, beta, gamma)
+        if best_resp is None:
+            best_resp, best_q = resp, q
+        else:
+            better = resp > best_resp
+            best_resp = jnp.where(better, resp, best_resp)
+            best_q = tuple(
+                tuple(jnp.where(better, qn, qo) for qn, qo in zip(rn, ro))
+                for rn, ro in zip(q, best_q)
+            )
+    return best_resp, best_q
+
+
+def generate_diffusion_tensor(
+    response: jnp.ndarray,
+    q,
+    epsilon: float,
+    omega: float,
+    sensitivity: float,
+) -> jnp.ndarray:
+    """``T = Q D Q^T`` with D = diag(1+(eps-1)V, 1+(eps-1)V, 1+(omega-1)V),
+    identity where V <= 0 (reference GenerateDiffusionTensor, .hxx:302-378).
+
+    ``q[i][j]`` are eigenvector component planes; the result is the
+    component-first tensor field ``(3, 3, *shape)``.
+    """
+    v = jnp.power(jnp.maximum(response, 0.0), 1.0 / sensitivity)
+    d1 = 1.0 + (epsilon - 1.0) * v
+    d3 = 1.0 + (omega - 1.0) * v
+    d = (d1, d1, d3)
+    active = v > 0
+    rows = []
+    for i in range(3):
+        row = []
+        for j in range(3):
+            t_ij = sum(q[i][k] * d[k] * q[j][k] for k in range(3))
+            ident = 1.0 if i == j else 0.0
+            row.append(jnp.where(active, t_ij, ident))
+        rows.append(jnp.stack(row, axis=0))
+    return jnp.stack(rows, axis=0)
+
+
+class VEDResult(NamedTuple):
+    output: jnp.ndarray
+    #: vesselness response of the last outer iteration.
+    vesselness: jnp.ndarray
+    #: diffusion tensor used in the last outer iteration, component-first
+    #: layout ``(3, 3, *shape)``.
+    tensor: jnp.ndarray
+    #: MADResult of the last diffusion solve.
+    diffusion: MADResult
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_vesselness_pipeline(
+    shape: Tuple[int, ...],
+    spacing: Tuple[float, ...],
+    scales: Tuple[float, ...],
+    alpha: float,
+    beta: float,
+    gamma: float,
+    epsilon: float,
+    omega: float,
+    sensitivity: float,
+):
+    def pipeline(u):
+        resp, q = max_vesselness_over_scales(u, scales, spacing, alpha, beta, gamma)
+        tensor = generate_diffusion_tensor(resp, q, epsilon, omega, sensitivity)
+        return resp, tensor
+
+    return jax.jit(pipeline)
+
+
+def ved(
+    image: jnp.ndarray,
+    spacing: Sequence[float] | None = None,
+    config: VEDConfig | None = None,
+    dtype=None,
+) -> VEDResult:
+    """Run the full VED filter (3D only, like the reference)."""
+    config = config or VEDConfig()
+    if image.ndim != 3:
+        raise ValueError(f"VED expects a 3D volume, got rank {image.ndim}")
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if spacing is None:
+        spacing = (1.0,) * image.ndim
+    spacing = tuple(float(h) for h in spacing)
+
+    u = jnp.asarray(image, dtype)
+    pipeline = _compiled_vesselness_pipeline(
+        tuple(u.shape),
+        spacing,
+        tuple(config.scales),
+        config.alpha,
+        config.beta,
+        config.gamma,
+        config.epsilon,
+        config.omega,
+        config.sensitivity,
+    )
+    mad_cfg = config.mad_config()
+
+    resp = tensor = diffusion = None
+    for _ in range(config.iterations):
+        resp, tensor = pipeline(u)
+        diffusion = mad_diffusion(u, tensor, spacing=spacing, config=mad_cfg, dtype=dtype)
+        u = diffusion.output
+
+    return VEDResult(output=u, vesselness=resp, tensor=tensor, diffusion=diffusion)

@@ -46,13 +46,14 @@ def _axis_slice(x: jnp.ndarray, axis: int, start, stop) -> jnp.ndarray:
 
 
 def _tensor_plane(tensor: jnp.ndarray, d: int, d2: int) -> jnp.ndarray:
-    """Component (d, d2) of the symmetric tensor field ``(*shape, D, D)``.
+    """Component (d, d2) of the component-first symmetric tensor field
+    ``(D, D, *shape)`` (spatial dims last so TPU tiling stays dense).
 
     Only the lower triangle is trusted (the reference filter copies only
     ``d2 <= d``, itkMultigridAnisotropicDiffusionImageFilter.hxx:86-94).
     """
     lo, hi = min(d, d2), max(d, d2)
-    return tensor[..., hi, lo]
+    return tensor[hi, lo]
 
 
 def _tensor_derivative(m: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -125,12 +126,13 @@ def assemble_dca(
     """Assemble ``A = Id - dt*L`` as a StencilOperator.
 
     Args:
-      tensor: symmetric diffusion tensor field, shape ``(*grid_shape, D, D)``.
+      tensor: symmetric diffusion tensor field, shape ``(D, D, *grid_shape)``
+        (component-first; see :func:`_tensor_plane`).
       spacing: grid spacing per dimension (length D).
       time_step: implicit-Euler time step ``dt``.
     """
     ndim = tensor.ndim - 2
-    shape = tensor.shape[:-2]
+    shape = tensor.shape[2:]
     dtype = tensor.dtype
     if len(spacing) != ndim:
         raise ValueError(f"spacing rank {len(spacing)} != grid rank {ndim}")

@@ -130,10 +130,10 @@ def prolong(x: jnp.ndarray, centering: Sequence[str]) -> jnp.ndarray:
 
 
 def restrict_tensor(tensor: jnp.ndarray, centering: Sequence[str]) -> jnp.ndarray:
-    """Restrict a ``(*shape, D, D)`` tensor field componentwise
-    (itkGridsHierarchy.hxx:149-188 restricts each coefficient image)."""
-    ndim = tensor.ndim - 2
+    """Restrict a component-first ``(D, D, *shape)`` tensor field componentwise
+    (itkGridsHierarchy.hxx:149-188 restricts each coefficient image); spatial
+    axis ``d`` is array axis ``2 + d``."""
     for d, cent in enumerate(centering):
         fn = _restrict_1d_cell if cent == CELL else _restrict_1d_vertex
-        tensor = _apply_along_axis(fn, tensor, d)
+        tensor = _apply_along_axis(fn, tensor, 2 + d)
     return tensor

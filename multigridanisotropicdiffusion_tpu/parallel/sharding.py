@@ -1,0 +1,137 @@
+"""SPMD distribution of the multigrid solve over a TPU device mesh.
+
+The reference is strictly single-threaded (SURVEY.md §2: no threads, no MPI,
+no GPU); distribution is a pure addition mandated by the north star.  The
+TPU-idiomatic design: solver math stays *global-view* (pad/slice stencils,
+separable transfers), arrays carry ``NamedSharding``s that block-partition the
+spatial dimensions over mesh axes, and XLA's SPMD partitioner inserts the
+one-voxel halo exchanges (ICI collectives) implied by the shifted slices.
+``with_sharding_constraint`` at level boundaries implements *coarse-grid
+agglomeration*: once a level's per-device block drops below ``min_local``
+points per axis, the level is replicated (gathered onto every chip) and the
+coarsest dense LU solve runs replicated — the multigrid analog of reducing
+parallelism as grids shrink.
+
+An explicitly scheduled halo-exchange smoother (shard_map + ppermute with
+interior/boundary overlap) is the hand-optimized alternative; this module is
+the compiler-driven baseline that any such kernel must beat.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from ..core.grids import GridLevel
+from ..core.stencil import StencilOperator
+
+#: Below this many points per axis per device, stop sharding that axis.
+DEFAULT_MIN_LOCAL = 8
+
+
+def factorize_devices(n: int, ndim: int) -> Tuple[int, ...]:
+    """Split ``n`` devices into an ``ndim``-dimensional mesh shape, as square
+    as possible (e.g. 8 -> (4, 2) in 2D, (2, 2, 2) in 3D)."""
+    dims = [1] * ndim
+    remaining = n
+    # greedy: repeatedly give the smallest prime factor to the smallest dim
+    factors = []
+    m = remaining
+    d = 2
+    while d * d <= m:
+        while m % d == 0:
+            factors.append(d)
+            m //= d
+        d += 1
+    if m > 1:
+        factors.append(m)
+    for f in sorted(factors, reverse=True):
+        i = int(np.argmin(dims))
+        dims[i] *= f
+    return tuple(sorted(dims, reverse=True))
+
+
+def make_grid_mesh(
+    ndim: int,
+    devices: Sequence[jax.Device] | None = None,
+    mesh_shape: Tuple[int, ...] | None = None,
+) -> Mesh:
+    """Create a spatial device mesh with axes named 'x', 'y'[, 'z']."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if mesh_shape is None:
+        mesh_shape = factorize_devices(n, ndim)
+    if len(mesh_shape) != ndim:
+        raise ValueError(f"mesh_shape rank {len(mesh_shape)} != ndim {ndim}")
+    if math.prod(mesh_shape) != n:
+        raise ValueError(f"mesh shape {mesh_shape} != device count {n}")
+    axis_names = ("x", "y", "z")[:ndim]
+    dev_array = np.asarray(devices).reshape(mesh_shape)
+    return Mesh(dev_array, axis_names)
+
+
+def level_spec(
+    mesh: Mesh, shape: Tuple[int, ...], min_local: int = DEFAULT_MIN_LOCAL
+) -> PartitionSpec:
+    """PartitionSpec for a field of ``shape``: spatial axis d maps to mesh axis
+    d while (a) the size divides evenly over the mesh axis (JAX requires
+    divisible shardings; pad odd volumes to mesh-divisible sizes for full
+    distribution) and (b) the per-device block stays >= ``min_local``;
+    otherwise the axis is replicated (agglomeration)."""
+    axes = mesh.axis_names
+    spec = []
+    for d, s in enumerate(shape):
+        if d < len(axes):
+            per = mesh.shape[axes[d]]
+            if per > 1 and s % per == 0 and s // per >= min_local:
+                spec.append(axes[d])
+                continue
+        spec.append(None)
+    return PartitionSpec(*spec)
+
+
+def field_sharding(
+    mesh: Mesh, shape: Tuple[int, ...], min_local: int = DEFAULT_MIN_LOCAL
+) -> NamedSharding:
+    return NamedSharding(mesh, level_spec(mesh, shape, min_local))
+
+
+def operator_sharding(
+    mesh: Mesh, shape: Tuple[int, ...], min_local: int = DEFAULT_MIN_LOCAL
+) -> NamedSharding:
+    """Sharding for StencilOperator coeffs ``(K, *shape)``: offset axis
+    replicated, spatial axes like the fields."""
+    spec = level_spec(mesh, shape, min_local)
+    return NamedSharding(mesh, PartitionSpec(None, *spec))
+
+
+def _reshard(x, sharding: NamedSharding):
+    """Reshard an array, supporting unevenly divisible dimensions (GSPMD pads
+    internally; plain ``device_put`` rejects non-divisible shapes)."""
+    return jax.jit(lambda a: a, out_shardings=sharding)(x)
+
+
+def shard_field(x, mesh: Mesh, min_local: int = DEFAULT_MIN_LOCAL):
+    return _reshard(x, field_sharding(mesh, tuple(x.shape), min_local))
+
+
+def shard_hierarchy(hierarchy, levels: Tuple[GridLevel, ...], mesh: Mesh,
+                    min_local: int = DEFAULT_MIN_LOCAL):
+    """Reshard a built Hierarchy: fine-level coefficient planes block-partitioned,
+    agglomerated levels and the coarsest LU replicated."""
+    from ..models.mad import Hierarchy
+
+    ops = []
+    for lvl, op in zip(levels, hierarchy.operators):
+        sh = operator_sharding(mesh, lvl.shape, min_local)
+        ops.append(StencilOperator(_reshard(op.coeffs, sh), op.offsets))
+    replicated = NamedSharding(mesh, PartitionSpec())
+    solver = jax.tree.map(
+        lambda a: _reshard(a, replicated), hierarchy.solver
+    )
+    return Hierarchy(operators=tuple(ops), solver=solver)

@@ -1,0 +1,64 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multigridanisotropicdiffusion_tpu.ops.hessian import gaussian_kernels_1d, hessian
+
+
+def test_kernel_moments():
+    for sigma, h in [(1.0, 1.0), (2.0, 0.5), (0.5, 0.3125), (0.3, 1.0)]:
+        g, g1, g2 = gaussian_kernels_1d(sigma, h)
+        r = (len(g) - 1) // 2
+        x = np.arange(-r, r + 1) * h
+        assert abs(g.sum() - 1) < 1e-12
+        assert abs(g1.sum()) < 1e-12
+        assert abs((g1 * x).sum() - 1) < 1e-12
+        assert abs(g2.sum()) < 1e-12
+        assert abs((g2 * x * x).sum() / 2 - 1) < 1e-12
+
+
+def test_hessian_exact_on_quadratics():
+    """H(ax^2+bxy+cy^2+...) is the constant matrix [[2a, b], [b, 2c]] in the
+    interior (edge-replicate padding perturbs only a border band)."""
+    n = 48
+    y, x = np.meshgrid(np.arange(n, dtype=float), np.arange(n, dtype=float), indexing="ij")
+    u = 3.0 * y * y + 2.0 * x * y - 1.5 * x * x + 4 * x - 7 * y + 2
+    h = np.asarray(
+        hessian(jnp.asarray(u), sigma=2.0, spacing=(1.0, 1.0), normalize_across_scale=False)
+    )
+    r = 10  # outside the kernel-support band
+    interior = h[:, :, r:-r, r:-r]
+    np.testing.assert_allclose(interior[0, 0], 6.0, atol=1e-8)
+    np.testing.assert_allclose(interior[0, 1], 2.0, atol=1e-8)
+    np.testing.assert_allclose(interior[1, 0], 2.0, atol=1e-8)
+    np.testing.assert_allclose(interior[1, 1], -3.0, atol=1e-8)
+
+
+def test_hessian_anisotropic_spacing():
+    """Physical-coordinate derivatives: halving the spacing along one axis
+    scales the second derivative by 4 for the same voxel data."""
+    n = 64
+    z = np.arange(n, dtype=float)
+    u = np.broadcast_to(z * z, (n, n)).copy()  # quadratic along axis 1
+    h1 = np.asarray(hessian(jnp.asarray(u), 1.5, (1.0, 1.0), normalize_across_scale=False))
+    h2 = np.asarray(hessian(jnp.asarray(u), 1.5, (1.0, 0.5), normalize_across_scale=False))
+    r = 16  # > kernel radius ceil(4 * 1.5/0.5) = 12
+    np.testing.assert_allclose(h1[1, 1, r:-r, r:-r], 2.0, atol=1e-8)
+    np.testing.assert_allclose(h2[1, 1, r:-r, r:-r], 8.0, atol=1e-7)
+
+
+def test_scale_normalization():
+    n = 32
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.normal(size=(n, n)))
+    h_raw = np.asarray(hessian(u, 1.5, normalize_across_scale=False))
+    h_norm = np.asarray(hessian(u, 1.5, normalize_across_scale=True))
+    np.testing.assert_allclose(h_norm, 1.5**2 * h_raw, rtol=1e-12)
+
+
+def test_hessian_3d_symmetric():
+    rng = np.random.default_rng(2)
+    u = jnp.asarray(rng.normal(size=(16, 17, 18)))
+    h = np.asarray(hessian(u, 1.0, (1.0, 0.5, 2.0)))
+    assert h.shape == (3, 3, 16, 17, 18)
+    np.testing.assert_allclose(h, np.swapaxes(h, 0, 1))

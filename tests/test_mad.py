@@ -22,6 +22,7 @@ from .conftest import make_spd_tensor_field
 def _dense_solution(tensor, spacing, dt, b):
     from multigridanisotropicdiffusion_tpu.ops.dca import assemble_dca
 
+    tensor = np.moveaxis(np.asarray(tensor), (-2, -1), (0, 1)).copy()
     op = assemble_dca(jnp.asarray(tensor), spacing, dt)
     a = np.asarray(densify(op))
     return np.linalg.solve(a, np.asarray(b).ravel()).reshape(b.shape)
@@ -107,7 +108,7 @@ def test_mad_multiple_time_steps(rng):
     # 3 implicit steps == solving A x = b three times in sequence
     from multigridanisotropicdiffusion_tpu.ops.dca import assemble_dca
 
-    op = assemble_dca(jnp.asarray(tensor), (1.0, 1.0), 0.05)
+    op = assemble_dca(jnp.asarray(np.moveaxis(tensor, (-2, -1), (0, 1)).copy()), (1.0, 1.0), 0.05)
     a = np.asarray(densify(op))
     b = np.asarray(image).ravel()
     for _ in range(3):
@@ -124,7 +125,10 @@ def test_hierarchy_reuse(rng):
     config = MADConfig(time_step=0.1, tolerance=1e-8)
 
     levels = build_level_descriptors(shape, (1.0, 1.0))
-    hier = build_hierarchy(jnp.asarray(tensor), levels, config.time_step)
+    hier = build_hierarchy(
+        jnp.asarray(np.moveaxis(tensor, (-2, -1), (0, 1)).copy()),
+        levels, config.time_step,
+    )
     r1 = mad_diffusion(image, tensor, config=config, hierarchy=hier)
     r2 = mad_diffusion(image, tensor, config=config)
     np.testing.assert_allclose(

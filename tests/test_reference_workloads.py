@@ -1,0 +1,127 @@
+"""Reproduce the reference's ctest workloads on the same data with the same
+parameters, asserting the observable contract: the relative L2 residual is
+driven below the test tolerance (1e-10) within MaxCycles
+(SURVEY.md §4; test/itk2DDiffusionTest_GS.cxx, test/itkVEDTest_GS.cxx)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multigridanisotropicdiffusion_tpu.core.grids import build_level_descriptors
+from multigridanisotropicdiffusion_tpu.models.mad import (
+    FMG,
+    SMOOTHER,
+    VCYCLE,
+    MADConfig,
+    _compiled_hierarchy_builder,
+    mad_diffusion,
+)
+from multigridanisotropicdiffusion_tpu.models.ved import VEDConfig, ved
+from multigridanisotropicdiffusion_tpu.utils.io import read_image_2d, read_meta_image
+
+REFERENCE_DATA = os.environ.get(
+    "MAD_REFERENCE_DATA", "/root/reference/test/test_data"
+)
+HAVE_DATA = os.path.isdir(REFERENCE_DATA)
+
+needs_data = pytest.mark.skipif(not HAVE_DATA, reason="reference data missing")
+
+
+@pytest.fixture(scope="module")
+def lena():
+    return read_image_2d(os.path.join(REFERENCE_DATA, "lena.jpg"))
+
+
+@pytest.fixture(scope="module")
+def lena_setup(lena):
+    """Shared hierarchy for the constant diag(50, 30) tensor (the 2D tests)."""
+    tensor = np.zeros((2, 2, *lena.shape))
+    tensor[0, 0] = 50.0
+    tensor[1, 1] = 30.0
+    levels = build_level_descriptors(lena.shape, (1.0, 1.0))
+    hier = _compiled_hierarchy_builder(levels, 0.1, "dca")(jnp.asarray(tensor))
+    return tensor, hier
+
+
+def _config(cycle, smoother):
+    # itk2DDiffusionTest_*: 2 its/grid, dt=0.1, 1 step, maxCycles=100, tol=1e-10
+    return MADConfig(
+        time_step=0.1,
+        number_of_steps=1,
+        cycle=cycle,
+        iterations_per_grid=2,
+        tolerance=1e-10,
+        max_cycles=100,
+        smoother=smoother,
+    )
+
+
+@needs_data
+@pytest.mark.parametrize("smoother", ["gauss_seidel", "weighted_jacobi"])
+@pytest.mark.parametrize("cycle", [VCYCLE, FMG])
+def test_2d_diffusion(lena, lena_setup, cycle, smoother):
+    tensor, hier = lena_setup
+    result = mad_diffusion(
+        lena, tensor, config=_config(cycle, smoother), hierarchy=hier
+    )
+    assert float(result.final_residual[0]) <= 1e-10
+    assert int(result.num_cycles[0]) <= 100
+    out = np.asarray(result.output)
+    assert np.all(np.isfinite(out))
+    # diffusion smooths: total variation strictly decreases
+    tv = lambda im: np.abs(np.diff(im, axis=0)).sum() + np.abs(np.diff(im, axis=1)).sum()
+    assert tv(out) < tv(np.asarray(lena))
+
+
+@needs_data
+@pytest.mark.parametrize("smoother", ["gauss_seidel", "weighted_jacobi"])
+def test_2d_diffusion_smoother_mode(lena, lena_setup, smoother):
+    """Smoother-only mode: the reference 'passes' by running to completion;
+    the residual decreases monotonically but does not hit 1e-10 in 100 its."""
+    tensor, hier = lena_setup
+    result = mad_diffusion(
+        lena, tensor, config=_config(SMOOTHER, smoother), hierarchy=hier
+    )
+    n = int(result.num_cycles[0])
+    hist = np.asarray(result.residual_history[0][:n])
+    assert n > 1
+    assert np.all(np.diff(hist) < 0)
+
+
+@needs_data
+def test_ved_reference_volume():
+    """itkVEDTest_GS: 69x77x69 angiography volume, GS smoother, 3 its/grid,
+    5 default scales, omega=1.5, 1 VED iteration, 4 diffusion steps, dt=0.1,
+    tol=1e-10 (test/itkVEDTest_GS.cxx:60-92)."""
+    img = read_meta_image(os.path.join(REFERENCE_DATA, "ved_test.mhd"))
+    cfg = VEDConfig(
+        alpha=0.5,
+        beta=0.5,
+        gamma=5.0,
+        epsilon=0.01,
+        omega=1.5,
+        sensitivity=10.0,
+        iterations=1,
+        diffusion_iterations=4,
+        time_step=0.1,
+        tolerance=1e-10,
+        diffusion_iterations_per_grid=3,
+        smoother="gauss_seidel",
+        cycle=VCYCLE,
+    )
+    res = ved(img.data.astype(np.float64), spacing=img.spacing, config=cfg)
+
+    # every diffusion time step converged to the test tolerance
+    assert np.all(np.asarray(res.diffusion.final_residual) <= 1e-10)
+    assert np.all(np.asarray(res.diffusion.num_cycles) <= 100)
+
+    out = np.asarray(res.output)
+    assert out.shape == img.data.shape
+    assert np.all(np.isfinite(out))
+
+    # vesselness found actual structure (angiography has vessels)
+    vess = np.asarray(res.vesselness)
+    assert float(vess.max()) > 0.1
+    assert float((vess > 0.01).mean()) < 0.5  # sparse

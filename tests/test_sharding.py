@@ -1,0 +1,90 @@
+"""SPMD distribution tests on the 8-device virtual CPU mesh.
+
+The key oracle (SURVEY.md §4): same math, different partitioning ==> same
+residual trajectory and same solution to fp tolerance.  This doubles as the
+halo-exchange correctness check — XLA's SPMD partitioner inserts the halos for
+the shifted-slice stencils, and any mismatch would corrupt boundary voxels.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multigridanisotropicdiffusion_tpu.models.mad import MADConfig, mad_diffusion
+from multigridanisotropicdiffusion_tpu.parallel.sharding import (
+    factorize_devices,
+    field_sharding,
+    level_spec,
+    make_grid_mesh,
+)
+
+from .conftest import make_spd_tensor_field
+
+needs_8_devices = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_factorize_devices():
+    assert factorize_devices(8, 2) == (4, 2)
+    assert factorize_devices(8, 3) == (2, 2, 2)
+    assert factorize_devices(4, 2) == (2, 2)
+    assert factorize_devices(1, 2) == (1, 1)
+    assert factorize_devices(6, 2) == (3, 2)
+
+
+@needs_8_devices
+def test_level_spec_agglomeration():
+    mesh = make_grid_mesh(2, mesh_shape=(4, 2))
+    # 64/4=16 and 64/2=32 >= 8 -> fully sharded
+    assert level_spec(mesh, (64, 64), 8) == jax.sharding.PartitionSpec("x", "y")
+    # 16/4=4 < 8 -> axis x replicated; 16/2=8 >= 8 -> y sharded
+    assert level_spec(mesh, (16, 16), 8) == jax.sharding.PartitionSpec(None, "y")
+    # coarsest: fully replicated
+    assert level_spec(mesh, (8, 8), 8) == jax.sharding.PartitionSpec(None, None)
+
+
+@needs_8_devices
+@pytest.mark.parametrize("ndim,shape,mesh_shape", [
+    (2, (64, 64), (4, 2)),
+    (2, (65, 48), (4, 2)),       # odd size: uneven shards
+    (3, (24, 25, 24), (2, 2, 2)),
+])
+def test_sharded_solve_matches_single_device(rng, ndim, shape, mesh_shape):
+    tensor = make_spd_tensor_field(rng, shape, ndim, hi=3.0)
+    image = rng.normal(size=shape) * 10.0
+    config = MADConfig(time_step=0.1, tolerance=1e-10, max_cycles=50)
+
+    ref = mad_diffusion(image, tensor, config=config)
+
+    mesh = make_grid_mesh(ndim, mesh_shape=mesh_shape)
+    got = mad_diffusion(image, tensor, config=config, mesh=mesh, min_local=4)
+
+    assert int(got.num_cycles[0]) == int(ref.num_cycles[0])
+    np.testing.assert_allclose(
+        np.asarray(got.output), np.asarray(ref.output), rtol=1e-12, atol=1e-12
+    )
+    n = int(ref.num_cycles[0])
+    # atol floor: residuals below ~1e-11 are at the f64 noise floor of the
+    # problem scale, where SPMD reduction order legitimately differs.
+    np.testing.assert_allclose(
+        np.asarray(got.residual_history[0][:n]),
+        np.asarray(ref.residual_history[0][:n]),
+        rtol=1e-9,
+        atol=1e-11,
+    )
+
+
+@needs_8_devices
+def test_sharded_output_sharding(rng):
+    """The solution comes back sharded over the mesh (no silent gather)."""
+    shape = (64, 64)
+    tensor = make_spd_tensor_field(rng, shape, 2)
+    image = rng.normal(size=shape)
+    mesh = make_grid_mesh(2, mesh_shape=(4, 2))
+    res = mad_diffusion(
+        image, tensor, config=MADConfig(tolerance=1e-8), mesh=mesh, min_local=8
+    )
+    out_sharding = res.output.sharding
+    assert out_sharding.is_equivalent_to(field_sharding(mesh, shape, 8), 2)

@@ -1,0 +1,127 @@
+"""VED pipeline tests on a synthetic bright tube."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multigridanisotropicdiffusion_tpu.models.ved import (
+    VEDConfig,
+    generate_diffusion_tensor,
+    max_vesselness_over_scales,
+    ved,
+    vesselness_measure,
+)
+
+
+def make_tube_volume(n=32, radius=1.5, axis=0, amplitude=100.0):
+    """Bright cylinder along ``axis`` through the volume center."""
+    coords = np.meshgrid(*[np.arange(n, dtype=float)] * 3, indexing="ij")
+    c = (n - 1) / 2
+    r2 = sum(
+        (coords[d] - c) ** 2 for d in range(3) if d != axis
+    )
+    return amplitude * np.exp(-r2 / (2 * radius**2))
+
+
+def _lam_planes(rows):
+    lam = np.asarray(rows)
+    return tuple(jnp.asarray(lam[:, i]) for i in range(3))
+
+
+def test_vesselness_zero_for_dark_structures():
+    # positive lambda2/lambda3 (dark tube on bright background) -> 0
+    lam = _lam_planes([[0.1, 2.0, 3.0], [0.0, -1.0, 2.0], [0.1, 1.0, -3.0]])
+    v = np.asarray(vesselness_measure(lam, 0.5, 0.5, 5.0))
+    np.testing.assert_array_equal(v, 0.0)
+
+
+def test_vesselness_high_for_tube_profile():
+    # classic bright-vessel signature: l1 ~ 0, l2 ~ l3 << 0.
+    # Hand-computed from the reference formula (alpha=beta=0.5, gamma=5):
+    # Ra-term (1-exp(-(4/4.41)/0.5)) ~= 0.837, Rb-term ~= 1,
+    # S-term (1-exp(-8.41/50)) ~= 0.155 -> v ~= 0.13.
+    lam = _lam_planes([[-0.01, -2.0, -2.1]])
+    v = float(vesselness_measure(lam, 0.5, 0.5, 5.0)[0])
+    assert abs(v - 0.1297) < 0.01
+    # stronger structure saturates the S-term
+    lam_strong = _lam_planes([[-0.05, -10.0, -10.5]])
+    vs = float(vesselness_measure(lam_strong, 0.5, 0.5, 5.0)[0])
+    assert vs > 0.7
+    # plate signature: l1 ~ 0, l2 ~ 0, l3 << 0 -> low (Ra ~ 0)
+    lam_plate = _lam_planes([[-0.01, -0.02, -2.0]])
+    vp = float(vesselness_measure(lam_plate, 0.5, 0.5, 5.0)[0])
+    assert vp < 0.01 * v
+
+
+def test_tube_detected_in_volume():
+    vol = make_tube_volume(24, radius=1.5, axis=0)
+    resp, q = max_vesselness_over_scales(
+        jnp.asarray(vol), scales=(0.775, 1.245, 2.0), spacing=(1.0, 1.0, 1.0),
+        alpha=0.5, beta=0.5, gamma=5.0,
+    )
+    resp = np.asarray(resp)
+    c = vol.shape[1] // 2
+    inside = resp[4:-4, c, c].mean()
+    outside = resp[4:-4, 2, 2].mean()
+    assert inside > 0.1
+    assert inside > 10 * max(outside, 1e-6)
+
+    # the omega direction (eigenvector 2 = largest signed eigenvalue) should
+    # align with the tube axis (axis 0) at the tube center: the Hessian there
+    # has two strongly negative eigenvalues (cross-section) and one ~0 (axis).
+    axis_dir = np.abs(np.asarray([q[i][2][12, c, c] for i in range(3)]))
+    assert axis_dir[0] > 0.9
+
+
+def test_generate_diffusion_tensor_identity_outside():
+    resp = jnp.asarray([0.0, 0.5])
+    one, zero = jnp.ones(2), jnp.zeros(2)
+    # identity eigenvector frame as planes: q[i][j] = delta_ij
+    q = tuple(tuple(one if i == j else zero for j in range(3)) for i in range(3))
+    t = np.asarray(generate_diffusion_tensor(resp, q, 0.01, 5.0, 10.0))
+    assert t.shape == (3, 3, 2)
+    np.testing.assert_allclose(t[:, :, 0], np.eye(3), atol=1e-12)
+    v = 0.5 ** (1.0 / 10.0)
+    want = np.diag([1 + (0.01 - 1) * v, 1 + (0.01 - 1) * v, 1 + (5.0 - 1) * v])
+    np.testing.assert_allclose(t[:, :, 1], want, rtol=1e-12)
+
+
+def test_tensor_symmetric_positive_definite():
+    vol = make_tube_volume(20, radius=1.5)
+    resp, q = max_vesselness_over_scales(
+        jnp.asarray(vol), scales=(1.0, 2.0), spacing=(1.0,) * 3,
+        alpha=0.5, beta=0.5, gamma=5.0,
+    )
+    t = np.asarray(generate_diffusion_tensor(resp, q, 0.01, 5.0, 10.0))
+    np.testing.assert_allclose(t, np.swapaxes(t, 0, 1), atol=1e-10)
+    w = np.linalg.eigvalsh(np.moveaxis(t, (0, 1), (-2, -1)).reshape(-1, 3, 3))
+    assert w.min() > 0.005  # >= epsilon-ish
+
+
+def test_ved_end_to_end_tube():
+    vol = make_tube_volume(24, radius=1.5, axis=0)
+    noisy = vol + np.random.default_rng(3).normal(scale=2.0, size=vol.shape)
+    cfg = VEDConfig(
+        iterations=1,
+        diffusion_iterations=2,
+        scales=(0.775, 1.245, 2.0),
+        time_step=0.1,
+        tolerance=1e-8,
+    )
+    res = ved(noisy, spacing=(1.0, 1.0, 1.0), config=cfg)
+    out = np.asarray(res.output)
+    assert out.shape == vol.shape
+    assert np.all(np.isfinite(out))
+    assert np.all(np.asarray(res.diffusion.final_residual) <= 1e-8)
+    # the tube survives diffusion: center stays much brighter than background
+    c = vol.shape[1] // 2
+    assert out[12, c, c] > 5 * np.abs(out[12, 2, 2])
+    # noise in the background got smoothed
+    bg_in = noisy[4:-4, 1:5, 1:5].std()
+    bg_out = out[4:-4, 1:5, 1:5].std()
+    assert bg_out < bg_in
+
+
+def test_ved_rejects_2d():
+    with pytest.raises(ValueError):
+        ved(np.zeros((8, 8)))
