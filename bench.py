@@ -23,7 +23,7 @@ HBM_GBPS = 819.0  # TPU v5e nominal
 BYTES_PER_VOXEL_SWEEP = 2 * (19 + 3) * 4  # two colored half-sweeps, f32
 
 
-def main():
+def run_size(n: int) -> str:
     import jax
     import jax.numpy as jnp
 
@@ -44,14 +44,24 @@ def main():
 
         @jax.jit
         def make_inputs(key):
-            k1, k2 = jax.random.split(key)
-            # component-first (3, 3, *shape): spatial dims last for TPU tiling
-            a = jax.random.normal(k1, (3, 3, *shape), dtype)
-            tensor = jnp.einsum("ik...,jk...->ij...", a, a)
-            tensor = tensor + 2.0 * jnp.expand_dims(
-                jnp.eye(3, dtype=dtype), tuple(range(2, 2 + len(shape)))
+            # SPD tensor field as the canonical plane tuple (layout-safe):
+            # T = A A^T + 2 I built plane-by-plane from 9 random scalar fields
+            # (never an array with a small leading/trailing component dim).
+            ks = jax.random.split(key, 10)
+            rows = [
+                [jax.random.normal(ks[3 * i + k], shape, dtype) for k in range(3)]
+                for i in range(3)
+            ]
+
+            def dot(i, j):
+                return sum(rows[i][k] * rows[j][k] for k in range(3))
+
+            tensor = (
+                dot(0, 0) + 2.0, dot(0, 1), dot(0, 2),
+                dot(1, 1) + 2.0, dot(1, 2),
+                dot(2, 2) + 2.0,
             )
-            b = jax.random.uniform(k2, shape, dtype, 0.0, 255.0)
+            b = jax.random.uniform(ks[9], shape, dtype, 0.0, 255.0)
             return tensor, b
 
         tensor, b = make_inputs(key)
@@ -61,73 +71,87 @@ def main():
         )
         t0 = time.perf_counter()
         hier = _compiled_hierarchy_builder(levels, config.time_step, "dca")(tensor)
-        jax.block_until_ready(hier.operators[0].coeffs)
+        jax.block_until_ready(hier.operators[0].coeffs[0])
         setup_s = time.perf_counter() - t0
         del tensor
         return shape, levels, config, hier, b, setup_s
 
-    last_err = None
-    for n in (512, 384, 256):
-        try:
-            shape, levels, config, hier, b, setup_s = build_problem(n)
+    shape, levels, config, hier, b, setup_s = build_problem(n)
 
-            # --- smoother throughput -------------------------------------
-            op0 = hier.operators[0]
-            SWEEPS = 10
+    # --- smoother throughput ---------------------------------------------
+    op0 = hier.operators[0]
+    SWEEPS = 10
 
-            @jax.jit
-            def sweeps(x, b):
-                for _ in range(SWEEPS):
-                    x = rb_gauss_seidel_sweep(op0, x, b)
-                return x
+    @jax.jit
+    def sweeps(x, b):
+        for _ in range(SWEEPS):
+            x = rb_gauss_seidel_sweep(op0, x, b)
+        return x
 
-            x = jnp.zeros_like(b)
-            sweeps(x, b).block_until_ready()  # compile
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                sweeps(x, b).block_until_ready()
-                best = min(best, time.perf_counter() - t0)
-            voxels = float(np.prod(shape))
-            updates_per_s = voxels * SWEEPS / best
+    x = jnp.zeros_like(b)
+    sweeps(x, b).block_until_ready()  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sweeps(x, b).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    voxels = float(np.prod(shape))
+    updates_per_s = voxels * SWEEPS / best
 
-            # --- V-cycle solve to 1e-6 -----------------------------------
-            solver = _compiled_solver(levels, config)
-            res = solver(hier, b)
-            jax.block_until_ready(res.output)  # compile + run
-            t0 = time.perf_counter()
-            res = solver(hier, b)
-            jax.block_until_ready(res.output)
-            solve_s = time.perf_counter() - t0
+    # --- V-cycle solve to 1e-6 ---------------------------------------------
+    solver = _compiled_solver(levels, config)
+    res = solver(hier, b)
+    jax.block_until_ready(res.output)  # compile + run
+    t0 = time.perf_counter()
+    res = solver(hier, b)
+    jax.block_until_ready(res.output)
+    solve_s = time.perf_counter() - t0
 
-            sol = HBM_GBPS * 1e9 / BYTES_PER_VOXEL_SWEEP
-            extra.update(
-                {
-                    "grid": list(shape),
-                    "sweep_s": best / SWEEPS,
-                    "setup_s": setup_s,
-                    "vcycle_solve_to_1e-6_s": solve_s,
-                    "vcycle_cycles": int(res.num_cycles[0]),
-                    "final_relres": float(res.final_residual[0]),
-                    "sol_updates_per_s": sol,
-                }
-            )
-            print(
-                json.dumps(
-                    {
-                        "metric": f"rbgs_smoother_voxel_updates_per_s_per_chip_{n}^3",
-                        "value": updates_per_s,
-                        "unit": "voxel_updates/s",
-                        "vs_baseline": updates_per_s / sol,
-                        "extra": extra,
-                    }
-                )
-            )
-            return
-        except Exception as e:  # OOM or compile failure: try smaller
-            last_err = e
-            continue
-    raise SystemExit(f"bench failed at all sizes: {last_err}")
+    sol = HBM_GBPS * 1e9 / BYTES_PER_VOXEL_SWEEP
+    extra.update(
+        {
+            "grid": list(shape),
+            "sweep_s": best / SWEEPS,
+            "setup_s": setup_s,
+            "vcycle_solve_to_1e-6_s": solve_s,
+            "vcycle_cycles": int(res.num_cycles[0]),
+            "final_relres": float(res.final_residual[0]),
+            "sol_updates_per_s": sol,
+        }
+    )
+    return json.dumps(
+        {
+            "metric": f"rbgs_smoother_voxel_updates_per_s_per_chip_{n}^3",
+            "value": updates_per_s,
+            "unit": "voxel_updates/s",
+            "vs_baseline": updates_per_s / sol,
+            "extra": extra,
+        }
+    )
+
+
+def main():
+    """Try sizes largest-first, each in a fresh subprocess so a failed (OOM)
+    attempt cannot leak device buffers into the next one."""
+    import subprocess
+    import sys
+
+    sizes = [int(s) for s in sys.argv[1:] if s.isdigit()] or [384, 256, 128]
+    if len(sys.argv) > 1 and sys.argv[1] == "--single":
+        print(run_size(int(sys.argv[2])))
+        return
+    last = None
+    for n in sizes:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--single", str(n)],
+            capture_output=True, text=True, timeout=1800,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+                return
+        last = (proc.stdout + proc.stderr)[-2000:]
+    raise SystemExit(f"bench failed at all sizes; last output:\n{last}")
 
 
 if __name__ == "__main__":

@@ -18,6 +18,12 @@ from .core.stencil import (
     residual,
     stencil_offsets,
 )
+from .core.symfield import (
+    as_sym_planes,
+    sym_from_matrix,
+    sym_pairs,
+    sym_to_matrix,
+)
 from .models.mad import (
     DCA,
     FMG,
@@ -30,7 +36,9 @@ from .models.mad import (
     build_hierarchy,
     mad_diffusion,
 )
+from .models.ved import VEDConfig, VEDResult, ved
 from .ops.dca import assemble_dca
+from .ops.galerkin import assemble_galerkin
 from .ops.smoothers import jacobi_sweep, rb_gauss_seidel_sweep
 from .ops.transfer import prolong, restrict
 

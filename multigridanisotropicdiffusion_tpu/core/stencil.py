@@ -49,27 +49,37 @@ def stencil_offsets(ndim: int, radius: int = 1, drop_corners: bool | None = None
 class StencilOperator:
     """A linear operator ``A`` stored as per-offset coefficient planes.
 
-    ``coeffs[k]`` is the coefficient multiplying ``x[p + offsets[k]]`` in row
-    ``p`` of the matrix — i.e. ``(A x)[p] = sum_k coeffs[k][p] * x[p + offsets[k]]``
-    with out-of-range reads treated as zero.
+    ``coeffs[k]`` is the coefficient plane multiplying ``x[p + offsets[k]]``
+    in row ``p`` of the matrix — i.e.
+    ``(A x)[p] = sum_k coeffs[k][p] * x[p + offsets[k]]`` with out-of-range
+    reads treated as zero.
+
+    ``coeffs`` is a *tuple* of K full-resolution spatial arrays rather than a
+    single ``(K, *shape)`` array: XLA's layout assignment may tile any two
+    dims as the minor (lane) dims, and a small leading K in the lane position
+    would pad catastrophically (see core.symfield).  Separate planes always
+    tile densely.
     """
 
-    def __init__(self, coeffs: jnp.ndarray, offsets: Tuple[Offset, ...]):
-        self.coeffs = coeffs
+    def __init__(self, coeffs, offsets: Tuple[Offset, ...]):
+        if not isinstance(coeffs, (tuple, list)):
+            # accept a stacked (K, *shape) array for convenience
+            coeffs = tuple(coeffs[k] for k in range(coeffs.shape[0]))
+        self.coeffs = tuple(coeffs)
         self.offsets = tuple(tuple(int(o) for o in off) for off in offsets)
-        if coeffs is not None and hasattr(coeffs, "shape") and coeffs.shape[0] != len(self.offsets):
+        if len(self.coeffs) != len(self.offsets):
             raise ValueError(
-                f"coeffs leading dim {coeffs.shape[0]} != number of offsets {len(self.offsets)}"
+                f"{len(self.coeffs)} coefficient planes != {len(self.offsets)} offsets"
             )
 
     # -- pytree protocol ---------------------------------------------------
     def tree_flatten(self):
-        return (self.coeffs,), self.offsets
+        return self.coeffs, self.offsets
 
     @classmethod
     def tree_unflatten(cls, offsets, children):
         obj = object.__new__(cls)
-        obj.coeffs = children[0]
+        obj.coeffs = tuple(children)
         obj.offsets = offsets
         return obj
 
@@ -80,7 +90,11 @@ class StencilOperator:
 
     @property
     def shape(self) -> Tuple[int, ...]:
-        return tuple(self.coeffs.shape[1:])
+        return tuple(self.coeffs[0].shape)
+
+    @property
+    def dtype(self):
+        return self.coeffs[0].dtype
 
     @property
     def radius(self) -> int:
@@ -99,7 +113,9 @@ class StencilOperator:
         return self.offsets.index(tuple(off))
 
     def astype(self, dtype) -> "StencilOperator":
-        return StencilOperator(self.coeffs.astype(dtype), self.offsets)
+        return StencilOperator(
+            tuple(c.astype(dtype) for c in self.coeffs), self.offsets
+        )
 
     def __repr__(self) -> str:
         return f"StencilOperator(K={len(self.offsets)}, shape={self.shape})"
@@ -169,7 +185,7 @@ def densify(op: StencilOperator) -> jnp.ndarray:
 
     shape = op.shape
     n = int(np.prod(shape))
-    a = jnp.zeros((n, n), dtype=op.coeffs.dtype)
+    a = jnp.zeros((n, n), dtype=op.dtype)
     lex = np.arange(n).reshape(shape)
     for k, off in enumerate(op.offsets):
         row_sl = tuple(

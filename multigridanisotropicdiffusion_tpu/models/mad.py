@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.grids import GridLevel, build_level_descriptors
+from ..core.symfield import as_sym_planes
 from ..core.stencil import StencilOperator, l2_norm, residual
 from ..ops.coarse import CoarseSolver, build_coarse_solver, coarse_solve
 from ..ops.dca import assemble_dca
@@ -70,32 +71,6 @@ class MADConfig:
             raise ValueError(f"unknown cycle type: {self.cycle!r}")
         if self.coarse_operator not in (DCA, GALERKIN):
             raise ValueError(f"unknown coarse operator: {self.coarse_operator!r}")
-
-
-def as_component_first(tensor, shape: Tuple[int, ...]):
-    """Canonicalize a symmetric tensor field to the internal component-first
-    layout ``(D, D, *shape)``.
-
-    Accepts either ``(D, D, *shape)`` (preferred — TPU tiles the trailing two
-    dims, so spatial dims must be last) or the numpy-friendly
-    ``(*shape, D, D)``, which is transposed host-side when possible (a
-    device-resident trailing-(D, D) array would already be catastrophically
-    padded on TPU).
-    """
-    import numpy as np
-
-    ndim = len(shape)
-    t_shape = tuple(tensor.shape)
-    if t_shape == (ndim, ndim, *shape):
-        return tensor
-    if t_shape == (*shape, ndim, ndim):
-        if isinstance(tensor, np.ndarray):
-            return np.ascontiguousarray(np.moveaxis(tensor, (-2, -1), (0, 1)))
-        return jnp.moveaxis(tensor, (-2, -1), (0, 1))
-    raise ValueError(
-        f"tensor shape {t_shape} does not match image shape {shape}: expected "
-        f"{(ndim, ndim, *shape)} (component-first) or {(*shape, ndim, ndim)}"
-    )
 
 
 class Hierarchy(NamedTuple):
@@ -332,8 +307,10 @@ def mad_diffusion(
 
     Args:
       image: input field, shape ``(*grid_shape)`` (2D or 3D).
-      tensor: symmetric diffusion tensor field ``(*grid_shape, D, D)``; only
-        the lower triangle is read.
+      tensor: symmetric diffusion tensor field — a canonical plane tuple
+        (core.symfield order, the layout-safe TPU representation), or an
+        array in ``(D, D, *shape)`` / ``(*shape, D, D)`` layout (only the
+        lower triangle is read, like the reference).
       spacing: physical voxel spacing (defaults to 1.0 per dim).
       config: solver parameters (defaults mirror the reference).
       dtype: internal precision (defaults to float64 when x64 is enabled,
@@ -351,8 +328,7 @@ def mad_diffusion(
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
     shape = tuple(image.shape)
-    ndim = len(shape)
-    tensor = as_component_first(tensor, shape)
+    tensor = as_sym_planes(tensor, shape)
     levels = build_level_descriptors(shape, spacing)
     b = jnp.asarray(image, dtype)
 
@@ -360,7 +336,7 @@ def mad_diffusion(
         builder = _compiled_hierarchy_builder(
             levels, config.time_step, config.coarse_operator
         )
-        hierarchy = builder(jnp.asarray(tensor, dtype))
+        hierarchy = builder(tuple(jnp.asarray(p, dtype) for p in tensor))
 
     if mesh is not None:
         from ..parallel.sharding import shard_field, shard_hierarchy

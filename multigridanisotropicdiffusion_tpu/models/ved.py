@@ -39,7 +39,8 @@ import jax
 import jax.numpy as jnp
 
 from ..core.grids import build_level_descriptors
-from ..ops.eigen3 import eigh3, sort_by_abs3, sym_planes_from_matrix
+from ..core.symfield import sym_pairs
+from ..ops.eigen3 import eigh3, sort_by_abs3
 from ..ops.hessian import hessian
 from .mad import MADConfig, MADResult, VCYCLE, build_hierarchy, mad_diffusion
 
@@ -131,7 +132,7 @@ def max_vesselness_over_scales(
     best_q = None
     for sigma in scales:
         h = hessian(u, sigma, spacing, normalize_across_scale=True)
-        w, q = eigh3(sym_planes_from_matrix(h))
+        w, q = eigh3(h)
         resp = vesselness_measure(sort_by_abs3(w), alpha, beta, gamma)
         if best_resp is None:
             best_resp, best_q = resp, q
@@ -155,32 +156,29 @@ def generate_diffusion_tensor(
     """``T = Q D Q^T`` with D = diag(1+(eps-1)V, 1+(eps-1)V, 1+(omega-1)V),
     identity where V <= 0 (reference GenerateDiffusionTensor, .hxx:302-378).
 
-    ``q[i][j]`` are eigenvector component planes; the result is the
-    component-first tensor field ``(3, 3, *shape)``.
+    ``q[i][j]`` are eigenvector component planes; the result is the canonical
+    symmetric plane tuple (core.symfield order).
     """
     v = jnp.power(jnp.maximum(response, 0.0), 1.0 / sensitivity)
     d1 = 1.0 + (epsilon - 1.0) * v
     d3 = 1.0 + (omega - 1.0) * v
     d = (d1, d1, d3)
     active = v > 0
-    rows = []
-    for i in range(3):
-        row = []
-        for j in range(3):
-            t_ij = sum(q[i][k] * d[k] * q[j][k] for k in range(3))
-            ident = 1.0 if i == j else 0.0
-            row.append(jnp.where(active, t_ij, ident))
-        rows.append(jnp.stack(row, axis=0))
-    return jnp.stack(rows, axis=0)
+    planes = []
+    for i, j in sym_pairs(3):
+        t_ij = sum(q[i][k] * d[k] * q[j][k] for k in range(3))
+        ident = 1.0 if i == j else 0.0
+        planes.append(jnp.where(active, t_ij, ident))
+    return tuple(planes)
 
 
 class VEDResult(NamedTuple):
     output: jnp.ndarray
     #: vesselness response of the last outer iteration.
     vesselness: jnp.ndarray
-    #: diffusion tensor used in the last outer iteration, component-first
-    #: layout ``(3, 3, *shape)``.
-    tensor: jnp.ndarray
+    #: diffusion tensor used in the last outer iteration (canonical
+    #: symmetric plane tuple, core.symfield order).
+    tensor: tuple
     #: MADResult of the last diffusion solve.
     diffusion: MADResult
 

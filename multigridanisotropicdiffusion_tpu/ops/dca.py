@@ -37,23 +37,13 @@ from typing import Dict, Tuple
 import jax.numpy as jnp
 
 from ..core.stencil import Offset, StencilOperator, stencil_offsets
+from ..core.symfield import sym_component
 
 
 def _axis_slice(x: jnp.ndarray, axis: int, start, stop) -> jnp.ndarray:
     sl = [slice(None)] * x.ndim
     sl[axis] = slice(start, stop)
     return x[tuple(sl)]
-
-
-def _tensor_plane(tensor: jnp.ndarray, d: int, d2: int) -> jnp.ndarray:
-    """Component (d, d2) of the component-first symmetric tensor field
-    ``(D, D, *shape)`` (spatial dims last so TPU tiling stays dense).
-
-    Only the lower triangle is trusted (the reference filter copies only
-    ``d2 <= d``, itkMultigridAnisotropicDiffusionImageFilter.hxx:86-94).
-    """
-    lo, hi = min(d, d2), max(d, d2)
-    return tensor[hi, lo]
 
 
 def _tensor_derivative(m: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -119,23 +109,25 @@ def _reflect_boundaries(
 
 
 def assemble_dca(
-    tensor: jnp.ndarray,
+    tensor,
     spacing: Tuple[float, ...],
     time_step: float,
 ) -> StencilOperator:
     """Assemble ``A = Id - dt*L`` as a StencilOperator.
 
     Args:
-      tensor: symmetric diffusion tensor field, shape ``(D, D, *grid_shape)``
-        (component-first; see :func:`_tensor_plane`).
+      tensor: symmetric diffusion tensor field as the canonical plane tuple
+        (see :mod:`..core.symfield`; length D(D+1)/2, each plane of
+        ``grid_shape``).
       spacing: grid spacing per dimension (length D).
       time_step: implicit-Euler time step ``dt``.
     """
-    ndim = tensor.ndim - 2
-    shape = tensor.shape[2:]
-    dtype = tensor.dtype
-    if len(spacing) != ndim:
-        raise ValueError(f"spacing rank {len(spacing)} != grid rank {ndim}")
+    ndim = len(spacing)
+    shape = tuple(tensor[0].shape)
+    dtype = tensor[0].dtype
+
+    def _tensor_plane(t, d, d2):
+        return sym_component(t, ndim, d, d2)
 
     dt = jnp.asarray(time_step, dtype)
     center: Offset = (0,) * ndim
@@ -191,5 +183,5 @@ def assemble_dca(
 
     offsets = stencil_offsets(ndim, radius=1)
     zeros = jnp.zeros(shape, dtype)
-    coeffs = jnp.stack([contrib.get(off, zeros) for off in offsets])
+    coeffs = tuple(contrib.get(off, zeros) for off in offsets)
     return StencilOperator(coeffs, offsets)

@@ -8,14 +8,14 @@ analytic (trigonometric) eigenvalue formula plus cross-product eigenvectors as
 pure elementwise array ops: no per-voxel loops, no QR iteration, fully fusable
 by XLA onto the VPU.
 
-**Layout: struct-of-planes.**  TPU tiles the last two array dimensions to
-(8, 128)-shaped lanes; an ``(..., 3, 3)`` array therefore pads its trailing
-dims to (8, 128) — a ~340x memory blowup at volume scale.  Every function here
-takes and returns *component planes*: separate full-resolution arrays per
-matrix/vector component, with the spatial dimensions last (well tiled).  A
-symmetric matrix field is the 6-tuple ``(a00, a11, a22, a01, a02, a12)``; an
-eigenvector frame is a 3x3 nested tuple ``v[i][j]`` = component ``i`` of
-eigenvector ``j``.
+**Layout: struct-of-planes.**  TPU tiles two minor array dimensions to
+(8, 128)-shaped lanes, and XLA may choose size-3 matrix axes as minor — a
+~40x memory blowup at volume scale.  Every function here takes and returns
+*component planes*: separate full-resolution arrays per matrix/vector
+component.  A symmetric matrix field is the canonical 6-tuple
+``(a00, a01, a02, a11, a12, a22)`` (core.symfield upper-triangle row-major
+order); an eigenvector frame is a 3x3 nested tuple ``v[i][j]`` = component
+``i`` of eigenvector ``j``.
 
 Eigenvalues are returned in *ascending value* order (matching
 ``vnl_symmetric_eigensystem``).
@@ -28,12 +28,6 @@ from typing import Tuple
 import jax.numpy as jnp
 
 SymPlanes = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]
-
-
-def sym_planes_from_matrix(a: jnp.ndarray) -> SymPlanes:
-    """Extract planes (a00, a11, a22, a01, a02, a12) from a ``(3, 3, *spatial)``
-    component-first symmetric matrix field."""
-    return (a[0, 0], a[1, 1], a[2, 2], a[0, 1], a[0, 2], a[1, 2])
 
 
 def _cross(u, v):
@@ -62,7 +56,7 @@ def eigh3(planes: SymPlanes, compute_vectors: bool = True):
     ``v[i][j]`` the ``i``-th component plane of the unit eigenvector for
     ``w[j]`` (``None`` when ``compute_vectors=False``).
     """
-    a00, a11, a22, a01, a02, a12 = planes
+    a00, a01, a02, a11, a12, a22 = planes  # canonical symfield order
     dtype = a00.dtype
 
     # Scale for numerical stability: work on A / max|A|.

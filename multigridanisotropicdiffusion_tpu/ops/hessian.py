@@ -27,6 +27,8 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.symfield import sym_pairs
+
 
 @lru_cache(maxsize=256)
 def gaussian_kernels_1d(
@@ -84,15 +86,16 @@ def hessian(
     sigma: float,
     spacing: Sequence[float] | None = None,
     normalize_across_scale: bool = True,
-) -> jnp.ndarray:
-    """Gaussian-smoothed Hessian field, shape ``(D, D, *u.shape)`` (symmetric).
+):
+    """Gaussian-smoothed Hessian field as the canonical symmetric plane tuple
+    (core.symfield order: ((0,0), (0,1), ..., upper triangle row-major)).
 
     ``H[i, j] = sigma^2 * d^2/dx_i dx_j (G_sigma * u)`` (physical coordinates;
     the ``sigma^2`` factor only when ``normalize_across_scale``).
 
-    Component-first layout: TPU tiles the trailing two array dims, so the
-    matrix axes must lead and the (large, well-tiled) spatial dims trail — an
-    ``(*shape, D, D)`` layout would pad its trailing (D, D) to (8, 128).
+    Struct-of-planes output: a stacked ``(..., D, D)`` (or even ``(D, D, ...)``)
+    array could be assigned a TPU layout with the size-D axes in the minor
+    (lane) position, padding them to (8, 128) — separate planes cannot.
     """
     ndim = u.ndim
     if spacing is None:
@@ -108,18 +111,13 @@ def hessian(
 
     norm = float(sigma) ** 2 if normalize_across_scale else 1.0
 
-    h = [[None] * ndim for _ in range(ndim)]
-    for i in range(ndim):
-        for j in range(i, ndim):
-            orders = [0] * ndim
-            if i == j:
-                orders[i] = 2
-            else:
-                orders[i] = 1
-                orders[j] = 1
-            h_ij = separable(tuple(orders)) * norm
-            h[i][j] = h_ij
-            h[j][i] = h_ij
-
-    rows = [jnp.stack(h[i], axis=0) for i in range(ndim)]
-    return jnp.stack(rows, axis=0)
+    planes = []
+    for i, j in sym_pairs(ndim):
+        orders = [0] * ndim
+        if i == j:
+            orders[i] = 2
+        else:
+            orders[i] = 1
+            orders[j] = 1
+        planes.append(separable(tuple(orders)) * norm)
+    return tuple(planes)

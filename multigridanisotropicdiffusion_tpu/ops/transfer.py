@@ -129,11 +129,8 @@ def prolong(x: jnp.ndarray, centering: Sequence[str]) -> jnp.ndarray:
     return x
 
 
-def restrict_tensor(tensor: jnp.ndarray, centering: Sequence[str]) -> jnp.ndarray:
-    """Restrict a component-first ``(D, D, *shape)`` tensor field componentwise
-    (itkGridsHierarchy.hxx:149-188 restricts each coefficient image); spatial
-    axis ``d`` is array axis ``2 + d``."""
-    for d, cent in enumerate(centering):
-        fn = _restrict_1d_cell if cent == CELL else _restrict_1d_vertex
-        tensor = _apply_along_axis(fn, tensor, 2 + d)
-    return tensor
+def restrict_tensor(tensor, centering: Sequence[str]):
+    """Restrict a symmetric tensor field (canonical plane tuple, see
+    core.symfield) componentwise — itkGridsHierarchy.hxx:149-188 restricts
+    each coefficient image."""
+    return tuple(restrict(plane, centering) for plane in tensor)

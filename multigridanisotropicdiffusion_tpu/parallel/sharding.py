@@ -104,10 +104,9 @@ def field_sharding(
 def operator_sharding(
     mesh: Mesh, shape: Tuple[int, ...], min_local: int = DEFAULT_MIN_LOCAL
 ) -> NamedSharding:
-    """Sharding for StencilOperator coeffs ``(K, *shape)``: offset axis
-    replicated, spatial axes like the fields."""
-    spec = level_spec(mesh, shape, min_local)
-    return NamedSharding(mesh, PartitionSpec(None, *spec))
+    """Sharding for a StencilOperator coefficient plane (same block
+    partitioning as the fields it multiplies)."""
+    return field_sharding(mesh, shape, min_local)
 
 
 def _reshard(x, sharding: NamedSharding):
@@ -129,7 +128,8 @@ def shard_hierarchy(hierarchy, levels: Tuple[GridLevel, ...], mesh: Mesh,
     ops = []
     for lvl, op in zip(levels, hierarchy.operators):
         sh = operator_sharding(mesh, lvl.shape, min_local)
-        ops.append(StencilOperator(_reshard(op.coeffs, sh), op.offsets))
+        planes = tuple(_reshard(c, sh) for c in op.coeffs)
+        ops.append(StencilOperator(planes, op.offsets))
     replicated = NamedSharding(mesh, PartitionSpec())
     solver = jax.tree.map(
         lambda a: _reshard(a, replicated), hierarchy.solver

@@ -15,9 +15,10 @@ from .oracles import dca_oracle
 
 
 def cf(tensor):
-    """numpy (*shape, D, D) -> component-first (D, D, *shape)."""
-    import numpy as _np
-    return _np.ascontiguousarray(_np.moveaxis(tensor, (-2, -1), (0, 1)))
+    """numpy (*shape, D, D) -> canonical plane tuple."""
+    from multigridanisotropicdiffusion_tpu.core.symfield import sym_pairs
+    ndim = tensor.shape[-1]
+    return tuple(jnp.asarray(tensor[..., i, j]) for i, j in sym_pairs(ndim))
 
 
 @pytest.mark.parametrize(
@@ -35,7 +36,7 @@ def test_dca_matches_oracle(rng, shape, spacing):
     tensor = make_spd_tensor_field(rng, shape, ndim)
     dt = 0.1
 
-    op = assemble_dca(jnp.asarray(cf(tensor)), spacing, dt)
+    op = assemble_dca(cf(tensor), spacing, dt)
     oracle = dca_oracle(tensor, spacing, dt)
 
     offsets = stencil_offsets(ndim)
@@ -54,7 +55,7 @@ def test_dca_matches_oracle(rng, shape, spacing):
 
 def test_dca_identity_for_zero_tensor():
     shape = (6, 6)
-    tensor = jnp.zeros((2, 2, *shape))
+    tensor = tuple(jnp.zeros(shape) for _ in range(3))
     op = assemble_dca(tensor, (1.0, 1.0), 0.1)
     x = jnp.arange(36.0).reshape(shape)
     np.testing.assert_allclose(np.asarray(apply_stencil(op, x)), np.asarray(x))
@@ -65,7 +66,7 @@ def test_dca_row_sum_is_one(rng):
     every row sums to 1. This holds including borders thanks to the folding."""
     shape = (7, 8)
     tensor = make_spd_tensor_field(rng, shape, 2)
-    op = assemble_dca(jnp.asarray(cf(tensor)), (1.0, 2.0), 0.05)
+    op = assemble_dca(cf(tensor), (1.0, 2.0), 0.05)
     ones = jnp.ones(shape)
     np.testing.assert_allclose(
         np.asarray(apply_stencil(op, ones)), 1.0, rtol=1e-10, atol=1e-10
@@ -75,7 +76,7 @@ def test_dca_row_sum_is_one(rng):
 def test_dca_3d_row_sum(rng):
     shape = (6, 7, 6)
     tensor = make_spd_tensor_field(rng, shape, 3)
-    op = assemble_dca(jnp.asarray(cf(tensor)), (1.0, 1.0, 2.0), 0.1)
+    op = assemble_dca(cf(tensor), (1.0, 1.0, 2.0), 0.1)
     np.testing.assert_allclose(
         np.asarray(apply_stencil(op, jnp.ones(shape))), 1.0, rtol=1e-10, atol=1e-10
     )
@@ -84,7 +85,7 @@ def test_dca_3d_row_sum(rng):
 def test_densify_matches_apply(rng):
     shape = (6, 7)
     tensor = make_spd_tensor_field(rng, shape, 2)
-    op = assemble_dca(jnp.asarray(cf(tensor)), (1.0, 1.0), 0.1)
+    op = assemble_dca(cf(tensor), (1.0, 1.0), 0.1)
     a = np.asarray(densify(op))
     x = rng.normal(size=shape)
     np.testing.assert_allclose(

@@ -2,11 +2,14 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from multigridanisotropicdiffusion_tpu.core.symfield import (
+    sym_from_matrix,
+    sym_pairs,
+)
 from multigridanisotropicdiffusion_tpu.ops.eigen3 import (
     eigh3,
     eigvalsh3,
     sort_by_abs3,
-    sym_planes_from_matrix,
 )
 
 
@@ -16,10 +19,8 @@ def _random_symmetric(rng, n):
 
 
 def _planes(a):
-    """numpy (n, 3, 3) -> plane tuple (a00, a11, a22, a01, a02, a12)."""
-    return tuple(
-        jnp.asarray(a[:, i, j]) for i, j in [(0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2)]
-    )
+    """numpy (n, 3, 3) -> canonical plane tuple (a00, a01, a02, a11, a12, a22)."""
+    return tuple(jnp.asarray(a[:, i, j]) for i, j in sym_pairs(3))
 
 
 def _to_arrays(w, v=None):
@@ -109,8 +110,14 @@ def test_eigvalsh_only(rng):
     np.testing.assert_allclose(wn, np.linalg.eigvalsh(a), rtol=1e-9, atol=1e-9)
 
 
-def test_sym_planes_from_matrix(rng):
-    a = rng.normal(size=(3, 3, 4, 5))
-    planes = sym_planes_from_matrix(jnp.asarray(a))
-    for plane, (i, j) in zip(planes, [(0, 0), (1, 1), (2, 2), (0, 1), (0, 2), (1, 2)]):
+def test_sym_from_matrix(rng):
+    a = rng.normal(size=(3, 3, 4, 5, 6))
+    a = a + np.swapaxes(a, 0, 1)  # symmetric in components
+    planes = sym_from_matrix(jnp.asarray(a))
+    for plane, (i, j) in zip(planes, sym_pairs(3)):
         np.testing.assert_array_equal(np.asarray(plane), a[i, j])
+    # trailing layout, reads lower triangle
+    at = np.moveaxis(a, (0, 1), (-2, -1))
+    planes2 = sym_from_matrix(jnp.asarray(at))
+    for p1, p2 in zip(planes, planes2):
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))

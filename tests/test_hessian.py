@@ -2,7 +2,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from multigridanisotropicdiffusion_tpu.core.symfield import sym_index, sym_pairs
 from multigridanisotropicdiffusion_tpu.ops.hessian import gaussian_kernels_1d, hessian
+
+
+def _h(planes, ndim, i, j):
+    return np.asarray(planes[sym_index(ndim, i, j)])
 
 
 def test_kernel_moments():
@@ -23,15 +28,13 @@ def test_hessian_exact_on_quadratics():
     n = 48
     y, x = np.meshgrid(np.arange(n, dtype=float), np.arange(n, dtype=float), indexing="ij")
     u = 3.0 * y * y + 2.0 * x * y - 1.5 * x * x + 4 * x - 7 * y + 2
-    h = np.asarray(
-        hessian(jnp.asarray(u), sigma=2.0, spacing=(1.0, 1.0), normalize_across_scale=False)
-    )
+    h = hessian(jnp.asarray(u), sigma=2.0, spacing=(1.0, 1.0), normalize_across_scale=False)
     r = 10  # outside the kernel-support band
-    interior = h[:, :, r:-r, r:-r]
-    np.testing.assert_allclose(interior[0, 0], 6.0, atol=1e-8)
-    np.testing.assert_allclose(interior[0, 1], 2.0, atol=1e-8)
-    np.testing.assert_allclose(interior[1, 0], 2.0, atol=1e-8)
-    np.testing.assert_allclose(interior[1, 1], -3.0, atol=1e-8)
+    sl = (slice(r, -r), slice(r, -r))
+    np.testing.assert_allclose(_h(h, 2, 0, 0)[sl], 6.0, atol=1e-8)
+    np.testing.assert_allclose(_h(h, 2, 0, 1)[sl], 2.0, atol=1e-8)
+    np.testing.assert_allclose(_h(h, 2, 1, 0)[sl], 2.0, atol=1e-8)
+    np.testing.assert_allclose(_h(h, 2, 1, 1)[sl], -3.0, atol=1e-8)
 
 
 def test_hessian_anisotropic_spacing():
@@ -40,25 +43,27 @@ def test_hessian_anisotropic_spacing():
     n = 64
     z = np.arange(n, dtype=float)
     u = np.broadcast_to(z * z, (n, n)).copy()  # quadratic along axis 1
-    h1 = np.asarray(hessian(jnp.asarray(u), 1.5, (1.0, 1.0), normalize_across_scale=False))
-    h2 = np.asarray(hessian(jnp.asarray(u), 1.5, (1.0, 0.5), normalize_across_scale=False))
+    h1 = hessian(jnp.asarray(u), 1.5, (1.0, 1.0), normalize_across_scale=False)
+    h2 = hessian(jnp.asarray(u), 1.5, (1.0, 0.5), normalize_across_scale=False)
     r = 16  # > kernel radius ceil(4 * 1.5/0.5) = 12
-    np.testing.assert_allclose(h1[1, 1, r:-r, r:-r], 2.0, atol=1e-8)
-    np.testing.assert_allclose(h2[1, 1, r:-r, r:-r], 8.0, atol=1e-7)
+    np.testing.assert_allclose(_h(h1, 2, 1, 1)[r:-r, r:-r], 2.0, atol=1e-8)
+    np.testing.assert_allclose(_h(h2, 2, 1, 1)[r:-r, r:-r], 8.0, atol=1e-7)
 
 
 def test_scale_normalization():
     n = 32
     rng = np.random.default_rng(1)
     u = jnp.asarray(rng.normal(size=(n, n)))
-    h_raw = np.asarray(hessian(u, 1.5, normalize_across_scale=False))
-    h_norm = np.asarray(hessian(u, 1.5, normalize_across_scale=True))
-    np.testing.assert_allclose(h_norm, 1.5**2 * h_raw, rtol=1e-12)
+    h_raw = hessian(u, 1.5, normalize_across_scale=False)
+    h_norm = hessian(u, 1.5, normalize_across_scale=True)
+    for a, b in zip(h_norm, h_raw):
+        np.testing.assert_allclose(np.asarray(a), 1.5**2 * np.asarray(b), rtol=1e-12)
 
 
 def test_hessian_3d_symmetric():
     rng = np.random.default_rng(2)
     u = jnp.asarray(rng.normal(size=(16, 17, 18)))
-    h = np.asarray(hessian(u, 1.0, (1.0, 0.5, 2.0)))
-    assert h.shape == (3, 3, 16, 17, 18)
-    np.testing.assert_allclose(h, np.swapaxes(h, 0, 1))
+    h = hessian(u, 1.0, (1.0, 0.5, 2.0))
+    assert len(h) == 6  # upper triangle of a 3x3 symmetric matrix
+    for plane in h:
+        assert plane.shape == (16, 17, 18)

@@ -22,8 +22,9 @@ from .conftest import make_spd_tensor_field
 def _dense_solution(tensor, spacing, dt, b):
     from multigridanisotropicdiffusion_tpu.ops.dca import assemble_dca
 
-    tensor = np.moveaxis(np.asarray(tensor), (-2, -1), (0, 1)).copy()
-    op = assemble_dca(jnp.asarray(tensor), spacing, dt)
+    from multigridanisotropicdiffusion_tpu.core.symfield import as_sym_planes
+
+    op = assemble_dca(as_sym_planes(np.asarray(tensor), b.shape), spacing, dt)
     a = np.asarray(densify(op))
     return np.linalg.solve(a, np.asarray(b).ravel()).reshape(b.shape)
 
@@ -108,7 +109,9 @@ def test_mad_multiple_time_steps(rng):
     # 3 implicit steps == solving A x = b three times in sequence
     from multigridanisotropicdiffusion_tpu.ops.dca import assemble_dca
 
-    op = assemble_dca(jnp.asarray(np.moveaxis(tensor, (-2, -1), (0, 1)).copy()), (1.0, 1.0), 0.05)
+    from multigridanisotropicdiffusion_tpu.core.symfield import as_sym_planes
+
+    op = assemble_dca(as_sym_planes(tensor, shape), (1.0, 1.0), 0.05)
     a = np.asarray(densify(op))
     b = np.asarray(image).ravel()
     for _ in range(3):
@@ -125,10 +128,9 @@ def test_hierarchy_reuse(rng):
     config = MADConfig(time_step=0.1, tolerance=1e-8)
 
     levels = build_level_descriptors(shape, (1.0, 1.0))
-    hier = build_hierarchy(
-        jnp.asarray(np.moveaxis(tensor, (-2, -1), (0, 1)).copy()),
-        levels, config.time_step,
-    )
+    from multigridanisotropicdiffusion_tpu.core.symfield import as_sym_planes
+
+    hier = build_hierarchy(as_sym_planes(tensor, shape), levels, config.time_step)
     r1 = mad_diffusion(image, tensor, config=config, hierarchy=hier)
     r2 = mad_diffusion(image, tensor, config=config)
     np.testing.assert_allclose(

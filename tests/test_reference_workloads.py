@@ -37,11 +37,14 @@ def lena():
 @pytest.fixture(scope="module")
 def lena_setup(lena):
     """Shared hierarchy for the constant diag(50, 30) tensor (the 2D tests)."""
-    tensor = np.zeros((2, 2, *lena.shape))
-    tensor[0, 0] = 50.0
-    tensor[1, 1] = 30.0
-    levels = build_level_descriptors(lena.shape, (1.0, 1.0))
-    hier = _compiled_hierarchy_builder(levels, 0.1, "dca")(jnp.asarray(tensor))
+    shape = lena.shape
+    tensor = (
+        jnp.full(shape, 50.0),   # (0,0)
+        jnp.zeros(shape),        # (0,1)
+        jnp.full(shape, 30.0),   # (1,1)
+    )
+    levels = build_level_descriptors(shape, (1.0, 1.0))
+    hier = _compiled_hierarchy_builder(levels, 0.1, "dca")(tensor)
     return tensor, hier
 
 

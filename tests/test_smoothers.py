@@ -22,8 +22,8 @@ from .conftest import make_spd_tensor_field
 def problem(rng):
     shape = (7, 8)
     tensor = make_spd_tensor_field(rng, shape, 2)
-    tensor_cf = np.moveaxis(tensor, (-2, -1), (0, 1)).copy()
-    op = assemble_dca(jnp.asarray(tensor_cf), (1.0, 1.0), 0.1)
+    planes = tuple(jnp.asarray(tensor[..., i, j]) for i, j in [(0, 0), (0, 1), (1, 1)])
+    op = assemble_dca(planes, (1.0, 1.0), 0.1)
     b = jnp.asarray(rng.normal(size=shape))
     x = jnp.asarray(rng.normal(size=shape))
     return op, x, b

@@ -65,10 +65,10 @@ def test_prolong_preserves_constants():
 
 def test_restrict_tensor_componentwise(rng):
     shape = (8, 9)
-    t = rng.normal(size=(2, 2, *shape))
+    planes = tuple(jnp.asarray(rng.normal(size=shape)) for _ in range(3))
     centering = (CELL, VERTEX)
-    got = np.asarray(restrict_tensor(jnp.asarray(t), centering))
-    for i in range(2):
-        for j in range(2):
-            want = restrict_oracle(t[i, j], centering)
-            np.testing.assert_allclose(got[i, j], want, rtol=1e-12, atol=1e-12)
+    got = restrict_tensor(planes, centering)
+    assert len(got) == 3
+    for g, p in zip(got, planes):
+        want = restrict_oracle(np.asarray(p), centering)
+        np.testing.assert_allclose(np.asarray(g), want, rtol=1e-12, atol=1e-12)

@@ -78,12 +78,15 @@ def test_generate_diffusion_tensor_identity_outside():
     one, zero = jnp.ones(2), jnp.zeros(2)
     # identity eigenvector frame as planes: q[i][j] = delta_ij
     q = tuple(tuple(one if i == j else zero for j in range(3)) for i in range(3))
-    t = np.asarray(generate_diffusion_tensor(resp, q, 0.01, 5.0, 10.0))
-    assert t.shape == (3, 3, 2)
-    np.testing.assert_allclose(t[:, :, 0], np.eye(3), atol=1e-12)
+    t = generate_diffusion_tensor(resp, q, 0.01, 5.0, 10.0)
+    assert len(t) == 6
+    from multigridanisotropicdiffusion_tpu.core.symfield import sym_to_matrix
+
+    tm = np.asarray(sym_to_matrix(t))
+    np.testing.assert_allclose(tm[:, :, 0], np.eye(3), atol=1e-12)
     v = 0.5 ** (1.0 / 10.0)
     want = np.diag([1 + (0.01 - 1) * v, 1 + (0.01 - 1) * v, 1 + (5.0 - 1) * v])
-    np.testing.assert_allclose(t[:, :, 1], want, rtol=1e-12)
+    np.testing.assert_allclose(tm[:, :, 1], want, rtol=1e-12)
 
 
 def test_tensor_symmetric_positive_definite():
@@ -92,9 +95,11 @@ def test_tensor_symmetric_positive_definite():
         jnp.asarray(vol), scales=(1.0, 2.0), spacing=(1.0,) * 3,
         alpha=0.5, beta=0.5, gamma=5.0,
     )
-    t = np.asarray(generate_diffusion_tensor(resp, q, 0.01, 5.0, 10.0))
-    np.testing.assert_allclose(t, np.swapaxes(t, 0, 1), atol=1e-10)
-    w = np.linalg.eigvalsh(np.moveaxis(t, (0, 1), (-2, -1)).reshape(-1, 3, 3))
+    t = generate_diffusion_tensor(resp, q, 0.01, 5.0, 10.0)
+    from multigridanisotropicdiffusion_tpu.core.symfield import sym_to_matrix
+
+    tm = np.asarray(sym_to_matrix(t))
+    w = np.linalg.eigvalsh(np.moveaxis(tm, (0, 1), (-2, -1)).reshape(-1, 3, 3))
     assert w.min() > 0.005  # >= epsilon-ish
 
 
