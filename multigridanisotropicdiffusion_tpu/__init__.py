@@ -38,6 +38,7 @@ from .models.mad import (
 )
 from .models.ved import VEDConfig, VEDResult, ved
 from .ops.dca import assemble_dca
+from .ops.matfree import MatrixFreeDCAOperator
 from .ops.galerkin import assemble_galerkin
 from .ops.smoothers import jacobi_sweep, rb_gauss_seidel_sweep
 from .ops.transfer import prolong, restrict

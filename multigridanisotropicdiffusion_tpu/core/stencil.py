@@ -117,6 +117,13 @@ class StencilOperator:
             tuple(c.astype(dtype) for c in self.coeffs), self.offsets
         )
 
+    # -- operator protocol (shared with ops.matfree) -----------------------
+    def apply(self, x: jnp.ndarray) -> jnp.ndarray:
+        return apply_stencil(self, x)
+
+    def offdiag_apply(self, x: jnp.ndarray) -> jnp.ndarray:
+        return offdiag_apply(self, x)
+
     def __repr__(self) -> str:
         return f"StencilOperator(K={len(self.offsets)}, shape={self.shape})"
 
@@ -161,9 +168,10 @@ def offdiag_apply(op: StencilOperator, x: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def residual(op: StencilOperator, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """``r = b - A x`` (reference ComputeResidual)."""
-    return b - apply_stencil(op, x)
+def residual(op, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """``r = b - A x`` (reference ComputeResidual).  Works for any operator
+    implementing the ``apply`` protocol (stored stencil or matrix-free)."""
+    return b - op.apply(x)
 
 
 def l2_norm(x: jnp.ndarray) -> jnp.ndarray:

@@ -65,6 +65,11 @@ class MADConfig:
     smoother: str = "gauss_seidel"
     jacobi_weight: float = DEFAULT_JACOBI_WEIGHT
     coarse_operator: str = DCA
+    #: apply operators on the fly from tensor planes instead of storing K
+    #: coefficient planes per level — ~2.4x less HBM traffic per sweep, ~3x
+    #: less memory, identical numerics (see ops.matfree).  With
+    #: coarse_operator='galerkin' only the finest level is matrix-free.
+    matrix_free: bool = False
 
     def __post_init__(self):
         if self.cycle not in (VCYCLE, FMG, SMOOTHER):
@@ -82,10 +87,11 @@ class Hierarchy(NamedTuple):
 
 
 def build_hierarchy(
-    tensor: jnp.ndarray,
+    tensor,
     levels: Tuple[GridLevel, ...],
     time_step: float,
     coarse_operator: str = DCA,
+    matrix_free: bool = False,
 ) -> Hierarchy:
     """Assemble the per-level operators (setup phase — runs once per tensor).
 
@@ -93,7 +99,32 @@ def build_hierarchy(
     (itkGridsHierarchy.hxx:110-201); Galerkin computes ``A_c = R A_f P``
     directly from the fine operator (the reference's documented GCA option,
     doc/html/itk_coarse_grid_operators_generator_8hxx_source.html).
+
+    With ``matrix_free``, DCA levels hold only their restricted tensor planes
+    and apply coefficients on the fly (ops.matfree); the coarsest level is
+    additionally materialized once to build the dense LU.
     """
+    if matrix_free:
+        from ..ops.matfree import MatrixFreeDCAOperator
+
+        ops = [MatrixFreeDCAOperator(tensor, levels[0].spacing, time_step)]
+        if coarse_operator == GALERKIN:
+            for lvl in levels[1:]:
+                ops.append(assemble_galerkin(ops[-1], lvl.centering))
+            coarsest_stored = ops[-1]
+            if isinstance(coarsest_stored, MatrixFreeDCAOperator):
+                coarsest_stored = assemble_dca(
+                    tensor, levels[-1].spacing, time_step
+                )
+        else:
+            t = tensor
+            for lvl in levels[1:]:
+                t = restrict_tensor(t, lvl.centering)
+                ops.append(MatrixFreeDCAOperator(t, lvl.spacing, time_step))
+            coarsest_stored = assemble_dca(t, levels[-1].spacing, time_step)
+        solver = build_coarse_solver(coarsest_stored)
+        return Hierarchy(operators=tuple(ops), solver=solver)
+
     ops = [assemble_dca(tensor, levels[0].spacing, time_step)]
     if coarse_operator == GALERKIN:
         for lvl in levels[1:]:
@@ -267,13 +298,18 @@ def _make_constraint(mesh, levels: Tuple[GridLevel, ...], min_local: int):
 
 @functools.lru_cache(maxsize=32)
 def _compiled_hierarchy_builder(
-    levels: Tuple[GridLevel, ...], time_step: float, coarse_operator: str
+    levels: Tuple[GridLevel, ...],
+    time_step: float,
+    coarse_operator: str,
+    matrix_free: bool = False,
 ):
     """Jitted setup: tensor -> Hierarchy (DCA assembly at every level, tensor
     restriction chain, dense coarsest LU) as one compiled program."""
 
     def build(tensor):
-        return build_hierarchy(tensor, levels, time_step, coarse_operator)
+        return build_hierarchy(
+            tensor, levels, time_step, coarse_operator, matrix_free
+        )
 
     return jax.jit(build)
 
@@ -334,7 +370,7 @@ def mad_diffusion(
 
     if hierarchy is None:
         builder = _compiled_hierarchy_builder(
-            levels, config.time_step, config.coarse_operator
+            levels, config.time_step, config.coarse_operator, config.matrix_free
         )
         hierarchy = builder(tuple(jnp.asarray(p, dtype) for p in tensor))
 

@@ -66,6 +66,8 @@ class VEDConfig:
     diffusion_iterations_per_grid: int = 2
     smoother: str = "gauss_seidel"
     max_cycles: int = 100  # hardcoded in DiffusionStep (.hxx:396)
+    coarse_operator: str = "dca"
+    matrix_free: bool = False
 
     def mad_config(self) -> MADConfig:
         return MADConfig(
@@ -76,6 +78,8 @@ class VEDConfig:
             tolerance=self.tolerance,
             max_cycles=self.max_cycles,
             smoother=self.smoother,
+            coarse_operator=self.coarse_operator,
+            matrix_free=self.matrix_free,
         )
 
 

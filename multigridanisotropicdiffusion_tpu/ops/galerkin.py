@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.grids import CELL
-from ..core.stencil import StencilOperator, apply_stencil
+from ..core.stencil import StencilOperator
 from ..ops.transfer import coarse_size, prolong, restrict
 
 
@@ -75,7 +75,7 @@ def assemble_galerkin(
             hit = (coords[d] % moduli[d]) == phase[d]
             comb = hit if comb is None else jnp.logical_and(comb, hit)
         v = comb.astype(dtype)
-        w = restrict(apply_stencil(fine_op, prolong(v, centering)), centering)
+        w = restrict(fine_op.apply(prolong(v, centering)), centering)
         probes.append(w)
 
     # Stack phases and gather: plane_O[J] = W[phase(J + O)][J].

@@ -25,7 +25,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..core.stencil import StencilOperator, offdiag_apply, apply_stencil
+from ..core.stencil import StencilOperator
 
 #: Default damping for weighted Jacobi (itkMultigridWeightedJacobiSmoother.hxx:189).
 DEFAULT_JACOBI_WEIGHT = 2.0 / 3.0
@@ -41,24 +41,26 @@ def parity_mask(shape: Tuple[int, ...], dtype=jnp.bool_) -> jnp.ndarray:
 
 
 def jacobi_sweep(
-    op: StencilOperator,
+    op,
     x: jnp.ndarray,
     b: jnp.ndarray,
     omega: float = DEFAULT_JACOBI_WEIGHT,
 ) -> jnp.ndarray:
     """One damped-Jacobi sweep:
-    ``x' = (1-w) x + w (b - offdiag(A) x) / diag(A)``."""
-    return (1.0 - omega) * x + omega * (b - offdiag_apply(op, x)) / op.diag
+    ``x' = (1-w) x + w (b - offdiag(A) x) / diag(A)``.
+
+    ``op`` is any operator implementing the protocol (``offdiag_apply`` +
+    ``diag``): stored :class:`~..core.stencil.StencilOperator` or the
+    matrix-free DCA operator."""
+    return (1.0 - omega) * x + omega * (b - op.offdiag_apply(x)) / op.diag
 
 
-def rb_gauss_seidel_sweep(
-    op: StencilOperator, x: jnp.ndarray, b: jnp.ndarray
-) -> jnp.ndarray:
+def rb_gauss_seidel_sweep(op, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """One red-black Gauss-Seidel sweep (red half-sweep then black)."""
     red = parity_mask(op.shape)
     diag = op.diag
     for color in (True, False):
-        x_gs = (b - offdiag_apply(op, x)) / diag
+        x_gs = (b - op.offdiag_apply(x)) / diag
         x = jnp.where(red == color, x_gs, x)
     return x
 

@@ -128,8 +128,9 @@ def shard_hierarchy(hierarchy, levels: Tuple[GridLevel, ...], mesh: Mesh,
     ops = []
     for lvl, op in zip(levels, hierarchy.operators):
         sh = operator_sharding(mesh, lvl.shape, min_local)
-        planes = tuple(_reshard(c, sh) for c in op.coeffs)
-        ops.append(StencilOperator(planes, op.offsets))
+        # works for both stored StencilOperator and matrix-free operators:
+        # every pytree leaf is a full-resolution spatial plane
+        ops.append(jax.tree.map(lambda c: _reshard(c, sh), op))
     replicated = NamedSharding(mesh, PartitionSpec())
     solver = jax.tree.map(
         lambda a: _reshard(a, replicated), hierarchy.solver

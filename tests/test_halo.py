@@ -1,0 +1,77 @@
+"""Explicit shard_map halo-exchange smoothers vs the global-view ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec
+
+from multigridanisotropicdiffusion_tpu.core.stencil import residual as global_residual
+from multigridanisotropicdiffusion_tpu.core.symfield import as_sym_planes
+from multigridanisotropicdiffusion_tpu.ops.dca import assemble_dca
+from multigridanisotropicdiffusion_tpu.ops.smoothers import (
+    jacobi_sweep,
+    rb_gauss_seidel_sweep,
+)
+from multigridanisotropicdiffusion_tpu.parallel.halo import (
+    make_halo_jacobi_sweep,
+    make_halo_rbgs_sweep,
+    make_halo_residual,
+)
+from multigridanisotropicdiffusion_tpu.parallel.sharding import make_grid_mesh
+
+from .conftest import make_spd_tensor_field
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+@pytest.fixture(params=[((32, 32), (4, 2)), ((16, 24, 16), (2, 2, 2))])
+def problem(rng, request):
+    shape, mesh_shape = request.param
+    ndim = len(shape)
+    tensor = make_spd_tensor_field(rng, shape, ndim, hi=3.0)
+    op = assemble_dca(as_sym_planes(tensor, shape), (1.0,) * ndim, 0.1)
+    x = jnp.asarray(rng.normal(size=shape))
+    b = jnp.asarray(rng.normal(size=shape))
+    mesh = make_grid_mesh(ndim, mesh_shape=mesh_shape)
+    spec = PartitionSpec(*mesh.axis_names)
+    return op, x, b, mesh, spec
+
+
+@needs_8
+def test_halo_rbgs_matches_global(problem):
+    op, x, b, mesh, spec = problem
+    sweep = make_halo_rbgs_sweep(mesh, spec)
+    got = np.asarray(jax.jit(sweep)(op, x, b))
+    want = np.asarray(rb_gauss_seidel_sweep(op, x, b))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+@needs_8
+def test_halo_jacobi_matches_global(problem):
+    op, x, b, mesh, spec = problem
+    sweep = make_halo_jacobi_sweep(mesh, spec)
+    got = np.asarray(jax.jit(sweep)(op, x, b))
+    want = np.asarray(jacobi_sweep(op, x, b))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+@needs_8
+def test_halo_residual_matches_global(problem):
+    op, x, b, mesh, spec = problem
+    res = make_halo_residual(mesh, spec)
+    got = np.asarray(jax.jit(res)(op, x, b))
+    want = np.asarray(global_residual(op, x, b))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+@needs_8
+def test_halo_rbgs_repeated_convergence(problem):
+    """Many halo sweeps drive the residual down identically to global sweeps."""
+    op, x, b, mesh, spec = problem
+    sweep = jax.jit(make_halo_rbgs_sweep(mesh, spec))
+    xg = x
+    for _ in range(10):
+        x = sweep(op, x, b)
+        xg = rb_gauss_seidel_sweep(op, xg, b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(xg), rtol=1e-10, atol=1e-10)
