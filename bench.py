@@ -36,6 +36,8 @@ HBM_GBPS = 819.0  # TPU v5e nominal
 BYTES_STORED = 2 * (19 + 3) * 4
 #: matrix-free sweep: two half-sweeps streaming 6 tensor planes + x + b
 BYTES_MATFREE = 2 * (6 + 3) * 4
+#: compressed sweep: two half-sweeps streaming 10 planes + x + b
+BYTES_COMPRESSED = 2 * (10 + 3) * 4
 SWEEPS = 50  # amortize per-dispatch overhead
 
 
@@ -144,12 +146,44 @@ def run_size(n: int, with_solve: bool = False) -> str:
     extra["matfree_updates_per_s"] = mf_ups
     extra["matfree_pct_sol"] = mf_ups / (HBM_GBPS * 1e9 / BYTES_MATFREE)
 
+    # --- compressed sweep (10-plane folded DCA form) -----------------------
+    from multigridanisotropicdiffusion_tpu.ops.compressed import (
+        assemble_compressed_dca,
+    )
+
+    @jax.jit
+    def make_compressed(tensor):
+        return assemble_compressed_dca(tensor, (1.0,) * 3, 0.1)
+
+    comp = make_compressed(mf.tensor)
+
+    @jax.jit
+    def comp_sweeps(comp, x, b):
+        return jax.lax.fori_loop(
+            0, SWEEPS, lambda i, x: rb_gauss_seidel_sweep(comp, x, b), x
+        )
+
+    t0 = time.perf_counter()
+    timed_call(comp_sweeps, comp, x, b)  # compile + first run
+    extra["comp_compile_plus_first_s"] = time.perf_counter() - t0
+    best_c = min(timed_call(comp_sweeps, comp, x, b)[0] for _ in range(3))
+    net_c = max(best_c - overhead, 1e-9)
+    comp_ups = voxels * SWEEPS / net_c
+    extra["compressed_sweep_s"] = net_c / SWEEPS
+    extra["compressed_updates_per_s"] = comp_ups
+    extra["compressed_pct_sol"] = comp_ups / (HBM_GBPS * 1e9 / BYTES_COMPRESSED)
+
     if with_solve:
         extra.update(_run_solve(n))
 
-    updates_per_s = max(stored_ups, mf_ups)
-    kind = "matfree" if mf_ups > stored_ups else "stored"
-    sol = HBM_GBPS * 1e9 / (BYTES_MATFREE if kind == "matfree" else BYTES_STORED)
+    candidates = {
+        "stored": (stored_ups, BYTES_STORED),
+        "matfree": (mf_ups, BYTES_MATFREE),
+        "compressed": (comp_ups, BYTES_COMPRESSED),
+    }
+    kind = max(candidates, key=lambda k: candidates[k][0])
+    updates_per_s, bytes_per = candidates[kind]
+    sol = HBM_GBPS * 1e9 / bytes_per
     return json.dumps(
         {
             "metric": f"rbgs_smoother_voxel_updates_per_s_per_chip_{n}^3_{kind}",

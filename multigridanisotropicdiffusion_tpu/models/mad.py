@@ -65,10 +65,16 @@ class MADConfig:
     smoother: str = "gauss_seidel"
     jacobi_weight: float = DEFAULT_JACOBI_WEIGHT
     coarse_operator: str = DCA
-    #: apply operators on the fly from tensor planes instead of storing K
-    #: coefficient planes per level — ~2.4x less HBM traffic per sweep, ~3x
-    #: less memory, identical numerics (see ops.matfree).  With
-    #: coarse_operator='galerkin' only the finest level is matrix-free.
+    #: DCA operator representation per level (coarse_operator='galerkin'
+    #: levels are always stored):
+    #:   'stored'      — K coefficient planes (19 in 3D), the general form;
+    #:   'compressed'  — 10 planes in 3D exploiting DCA structure, ~1.6x less
+    #:                   HBM traffic per sweep (see ops.compressed);
+    #:   'matrix_free' — apply from the 6 tensor planes, minimal memory
+    #:                   (see ops.matfree).
+    #: All three are numerically identical up to summation order.
+    operator_repr: str = "stored"
+    #: deprecated alias for operator_repr='matrix_free'.
     matrix_free: bool = False
 
     def __post_init__(self):
@@ -76,6 +82,12 @@ class MADConfig:
             raise ValueError(f"unknown cycle type: {self.cycle!r}")
         if self.coarse_operator not in (DCA, GALERKIN):
             raise ValueError(f"unknown coarse operator: {self.coarse_operator!r}")
+        if self.operator_repr not in ("stored", "compressed", "matrix_free"):
+            raise ValueError(f"unknown operator_repr: {self.operator_repr!r}")
+
+    @property
+    def effective_operator_repr(self) -> str:
+        return "matrix_free" if self.matrix_free else self.operator_repr
 
 
 class Hierarchy(NamedTuple):
@@ -91,7 +103,7 @@ def build_hierarchy(
     levels: Tuple[GridLevel, ...],
     time_step: float,
     coarse_operator: str = DCA,
-    matrix_free: bool = False,
+    operator_repr: str = "stored",
 ) -> Hierarchy:
     """Assemble the per-level operators (setup phase — runs once per tensor).
 
@@ -100,41 +112,38 @@ def build_hierarchy(
     directly from the fine operator (the reference's documented GCA option,
     doc/html/itk_coarse_grid_operators_generator_8hxx_source.html).
 
-    With ``matrix_free``, DCA levels hold only their restricted tensor planes
-    and apply coefficients on the fly (ops.matfree); the coarsest level is
-    additionally materialized once to build the dense LU.
+    ``operator_repr`` selects how DCA levels are represented (stored /
+    compressed / matrix_free, see MADConfig); the coarsest level is always
+    additionally materialized in stored form to build the dense LU.
     """
-    if matrix_free:
+    if operator_repr == "matrix_free":
         from ..ops.matfree import MatrixFreeDCAOperator
 
-        ops = [MatrixFreeDCAOperator(tensor, levels[0].spacing, time_step)]
-        if coarse_operator == GALERKIN:
-            for lvl in levels[1:]:
-                ops.append(assemble_galerkin(ops[-1], lvl.centering))
-            coarsest_stored = ops[-1]
-            if isinstance(coarsest_stored, MatrixFreeDCAOperator):
-                coarsest_stored = assemble_dca(
-                    tensor, levels[-1].spacing, time_step
-                )
-        else:
-            t = tensor
-            for lvl in levels[1:]:
-                t = restrict_tensor(t, lvl.centering)
-                ops.append(MatrixFreeDCAOperator(t, lvl.spacing, time_step))
-            coarsest_stored = assemble_dca(t, levels[-1].spacing, time_step)
-        solver = build_coarse_solver(coarsest_stored)
-        return Hierarchy(operators=tuple(ops), solver=solver)
+        make_op = lambda t, lvl: MatrixFreeDCAOperator(t, lvl.spacing, time_step)
+    elif operator_repr == "compressed":
+        from ..ops.compressed import assemble_compressed_dca
 
-    ops = [assemble_dca(tensor, levels[0].spacing, time_step)]
+        make_op = lambda t, lvl: assemble_compressed_dca(t, lvl.spacing, time_step)
+    else:
+        make_op = lambda t, lvl: assemble_dca(t, lvl.spacing, time_step)
+
+    ops = [make_op(tensor, levels[0])]
     if coarse_operator == GALERKIN:
         for lvl in levels[1:]:
             ops.append(assemble_galerkin(ops[-1], lvl.centering))
+        coarsest_stored = ops[-1]
+        if not isinstance(coarsest_stored, StencilOperator):
+            coarsest_stored = assemble_dca(tensor, levels[-1].spacing, time_step)
     else:
         t = tensor
         for lvl in levels[1:]:
             t = restrict_tensor(t, lvl.centering)
-            ops.append(assemble_dca(t, lvl.spacing, time_step))
-    solver = build_coarse_solver(ops[-1])
+            ops.append(make_op(t, lvl))
+        if operator_repr == "stored":
+            coarsest_stored = ops[-1]
+        else:
+            coarsest_stored = assemble_dca(t, levels[-1].spacing, time_step)
+    solver = build_coarse_solver(coarsest_stored)
     return Hierarchy(operators=tuple(ops), solver=solver)
 
 
@@ -301,14 +310,14 @@ def _compiled_hierarchy_builder(
     levels: Tuple[GridLevel, ...],
     time_step: float,
     coarse_operator: str,
-    matrix_free: bool = False,
+    operator_repr: str = "stored",
 ):
     """Jitted setup: tensor -> Hierarchy (DCA assembly at every level, tensor
     restriction chain, dense coarsest LU) as one compiled program."""
 
     def build(tensor):
         return build_hierarchy(
-            tensor, levels, time_step, coarse_operator, matrix_free
+            tensor, levels, time_step, coarse_operator, operator_repr
         )
 
     return jax.jit(build)
@@ -370,7 +379,8 @@ def mad_diffusion(
 
     if hierarchy is None:
         builder = _compiled_hierarchy_builder(
-            levels, config.time_step, config.coarse_operator, config.matrix_free
+            levels, config.time_step, config.coarse_operator,
+            config.effective_operator_repr,
         )
         hierarchy = builder(tuple(jnp.asarray(p, dtype) for p in tensor))
 

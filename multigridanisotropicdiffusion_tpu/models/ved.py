@@ -67,6 +67,7 @@ class VEDConfig:
     smoother: str = "gauss_seidel"
     max_cycles: int = 100  # hardcoded in DiffusionStep (.hxx:396)
     coarse_operator: str = "dca"
+    operator_repr: str = "stored"
     matrix_free: bool = False
 
     def mad_config(self) -> MADConfig:
@@ -79,6 +80,7 @@ class VEDConfig:
             max_cycles=self.max_cycles,
             smoother=self.smoother,
             coarse_operator=self.coarse_operator,
+            operator_repr=self.operator_repr,
             matrix_free=self.matrix_free,
         )
 
