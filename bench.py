@@ -173,6 +173,27 @@ def run_size(n: int, with_solve: bool = False) -> str:
     extra["compressed_updates_per_s"] = comp_ups
     extra["compressed_pct_sol"] = comp_ups / (HBM_GBPS * 1e9 / BYTES_COMPRESSED)
 
+    # --- Pallas fused half-sweep kernel on the compressed operator ---------
+    from multigridanisotropicdiffusion_tpu.ops.pallas_smoothers import (
+        pallas_rbgs_sweep,
+    )
+
+    @jax.jit
+    def pallas_sweeps(comp, x, b):
+        return jax.lax.fori_loop(
+            0, SWEEPS, lambda i, x: pallas_rbgs_sweep(comp, x, b), x
+        )
+
+    t0 = time.perf_counter()
+    timed_call(pallas_sweeps, comp, x, b)  # compile + first run
+    extra["pallas_compile_plus_first_s"] = time.perf_counter() - t0
+    best_p = min(timed_call(pallas_sweeps, comp, x, b)[0] for _ in range(3))
+    net_p = max(best_p - overhead, 1e-9)
+    pallas_ups = voxels * SWEEPS / net_p
+    extra["pallas_sweep_s"] = net_p / SWEEPS
+    extra["pallas_updates_per_s"] = pallas_ups
+    extra["pallas_pct_sol"] = pallas_ups / (HBM_GBPS * 1e9 / BYTES_COMPRESSED)
+
     if with_solve:
         extra.update(_run_solve(n))
 
@@ -180,6 +201,7 @@ def run_size(n: int, with_solve: bool = False) -> str:
         "stored": (stored_ups, BYTES_STORED),
         "matfree": (mf_ups, BYTES_MATFREE),
         "compressed": (comp_ups, BYTES_COMPRESSED),
+        "pallas": (pallas_ups, BYTES_COMPRESSED),
     }
     kind = max(candidates, key=lambda k: candidates[k][0])
     updates_per_s, bytes_per = candidates[kind]
@@ -266,17 +288,26 @@ def main():
 
     with_solve = "--solve" in args
     sizes = [int(s) for s in args if s.isdigit()] or [256, 128]
+    import tempfile
+
     last = None
     for n in sizes:
         cmd = [sys.executable, __file__, "--single", str(n)]
         if with_solve:
             cmd.append("--solve")
-        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3000)
-        for line in proc.stdout.splitlines():
+        # Write subprocess output to a temp FILE: backend helper processes can
+        # inherit a stdout pipe and keep it open past child exit, deadlocking
+        # a pipe-based capture.
+        with tempfile.NamedTemporaryFile("w+", suffix=".log", delete=False) as f:
+            log_path = f.name
+        with open(log_path, "w") as f:
+            subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT, timeout=3000)
+        out = open(log_path).read()
+        for line in out.splitlines():
             if line.startswith("{"):
                 print(line)
                 return
-        last = (proc.stdout + proc.stderr)[-2000:]
+        last = out[-2000:]
     raise SystemExit(f"bench failed at all sizes; last output:\n{last}")
 
 

@@ -76,6 +76,10 @@ class MADConfig:
     operator_repr: str = "stored"
     #: deprecated alias for operator_repr='matrix_free'.
     matrix_free: bool = False
+    #: route 3D compressed-operator Gauss-Seidel sweeps through the fused
+    #: Pallas TPU kernel (~2.3x the XLA sweep); single-device only — ignored
+    #: when a mesh is given.
+    use_pallas: bool = False
 
     def __post_init__(self):
         if self.cycle not in (VCYCLE, FMG, SMOOTHER):
@@ -235,7 +239,10 @@ def _solve_time_step(
 ):
     """One implicit time step: iterate cycles until the relative L2 residual
     falls below tolerance or max_cycles is hit (do-while, .hxx:207-246)."""
-    smooth = make_smoother(config.smoother, config.jacobi_weight)
+    smooth = make_smoother(
+        config.smoother, config.jacobi_weight,
+        use_pallas=config.use_pallas and constrain is _no_constraint,
+    )
     op0 = hier.operators[0]
     dtype = b.dtype
 

@@ -65,13 +65,32 @@ def rb_gauss_seidel_sweep(op, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def make_smoother(kind: str, omega: float = DEFAULT_JACOBI_WEIGHT):
+def make_smoother(
+    kind: str, omega: float = DEFAULT_JACOBI_WEIGHT, use_pallas: bool = False
+):
     """Return ``smooth(op, x, b) -> x'`` for the named smoother.
 
     ``kind``: 'gauss_seidel' (red-black) or 'weighted_jacobi'.
+    ``use_pallas``: route 3D compressed-operator GS sweeps through the fused
+    Pallas kernel (~2.3x the XLA path on TPU); other operator/dimension
+    combinations fall back to the XLA sweep.
     """
     if kind in ("gauss_seidel", "gs", "rbgs"):
-        return rb_gauss_seidel_sweep
+        if not use_pallas:
+            return rb_gauss_seidel_sweep
+
+        def sweep(op, x, b):
+            from .compressed import CompressedDCAOperator
+            from .pallas_smoothers import pallas_rbgs_sweep
+
+            if isinstance(op, CompressedDCAOperator) and op.ndim == 3:
+                # Mosaic is TPU-only; fall back to the interpreter elsewhere
+                # so use_pallas stays functional (if slow) on CPU.
+                interpret = jax.default_backend() != "tpu"
+                return pallas_rbgs_sweep(op, x, b, interpret=interpret)
+            return rb_gauss_seidel_sweep(op, x, b)
+
+        return sweep
     if kind in ("weighted_jacobi", "wj", "jacobi"):
         return functools.partial(jacobi_sweep, omega=omega)
     raise ValueError(f"unknown smoother kind: {kind!r}")

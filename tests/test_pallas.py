@@ -1,0 +1,51 @@
+"""Pallas RBGS kernel: interpreter-mode equivalence with the XLA path."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multigridanisotropicdiffusion_tpu.core.symfield import as_sym_planes
+from multigridanisotropicdiffusion_tpu.ops.compressed import assemble_compressed_dca
+from multigridanisotropicdiffusion_tpu.ops.pallas_smoothers import pallas_rbgs_sweep
+from multigridanisotropicdiffusion_tpu.ops.smoothers import rb_gauss_seidel_sweep
+
+from .conftest import make_spd_tensor_field
+
+
+@pytest.mark.parametrize(
+    "shape,spacing",
+    [
+        ((6, 7, 8), (1.0, 0.5, 2.0)),
+        ((9, 8, 10), (1.0, 1.0, 1.0)),
+        ((7, 7, 7), (0.3125, 0.3125, 0.5)),
+    ],
+)
+def test_pallas_rbgs_matches_xla(rng, shape, spacing):
+    tensor = make_spd_tensor_field(rng, shape, 3, hi=3.0)
+    comp = assemble_compressed_dca(as_sym_planes(tensor, shape), spacing, 0.1)
+    x = jnp.asarray(rng.normal(size=shape))
+    b = jnp.asarray(rng.normal(size=shape))
+    got = np.asarray(pallas_rbgs_sweep(comp, x, b, interpret=True))
+    want = np.asarray(rb_gauss_seidel_sweep(comp, x, b))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_pallas_rbgs_repeated(rng):
+    shape = (8, 8, 8)
+    tensor = make_spd_tensor_field(rng, shape, 3, hi=2.0)
+    comp = assemble_compressed_dca(as_sym_planes(tensor, shape), (1.0,) * 3, 0.1)
+    x = jnp.asarray(rng.normal(size=shape))
+    b = jnp.asarray(rng.normal(size=shape))
+    xg = x
+    for _ in range(5):
+        x = pallas_rbgs_sweep(comp, x, b, interpret=True)
+        xg = rb_gauss_seidel_sweep(comp, xg, b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(xg), rtol=1e-11, atol=1e-11)
+
+
+def test_pallas_rejects_2d(rng):
+    shape = (8, 8)
+    tensor = make_spd_tensor_field(rng, shape, 2)
+    comp = assemble_compressed_dca(as_sym_planes(tensor, shape), (1.0, 1.0), 0.1)
+    with pytest.raises(ValueError):
+        pallas_rbgs_sweep(comp, jnp.zeros(shape), jnp.zeros(shape), interpret=True)
