@@ -253,21 +253,29 @@ def _run_solve(n: int) -> dict:
 
     tensor, b = make_inputs(jax.random.PRNGKey(0))
     levels = build_level_descriptors(shape, (1.0, 1.0, 1.0))
-    config = MADConfig(time_step=0.1, tolerance=1e-6, max_cycles=50)
+    config = MADConfig(
+        time_step=0.1, tolerance=1e-6, max_cycles=50,
+        operator_repr="compressed", use_pallas=True,
+    )
 
     t0 = time.perf_counter()
-    hier = _compiled_hierarchy_builder(levels, config.time_step, "dca")(tensor)
-    jax.block_until_ready(hier.operators[0].coeffs[0])
+    hier = _compiled_hierarchy_builder(
+        levels, config.time_step, "dca", "compressed"
+    )(tensor)
+    jax.block_until_ready(hier.operators[0].diag_plane)
     setup_s = time.perf_counter() - t0
     del tensor
 
     solver = _compiled_solver(levels, config)
-    res = solver(hier, b)
-    jax.block_until_ready(res.output)  # compile + run
-    t0 = time.perf_counter()
-    res = solver(hier, b)
-    jax.block_until_ready(res.output)
-    solve_s = time.perf_counter() - t0
+
+    def run_once():
+        t0 = time.perf_counter()
+        res = solver(hier, b)
+        float(np.asarray(res.output.ravel()[0]))  # force completion
+        return time.perf_counter() - t0, res
+
+    run_once()  # compile + first
+    solve_s, res = min((run_once() for _ in range(2)), key=lambda t: t[0])
     return {
         "setup_s": setup_s,
         "vcycle_solve_to_1e-6_s": solve_s,
@@ -282,6 +290,9 @@ def main():
 
     args = sys.argv[1:]
     if args and args[0] == "--single":
+        if "--solve-only" in args:
+            print(json.dumps({"solve_only": int(args[1]), **_run_solve(int(args[1]))}))
+            return
         with_solve = "--solve" in args
         print(run_size(int(args[1]), with_solve))
         return

@@ -69,6 +69,7 @@ class VEDConfig:
     coarse_operator: str = "dca"
     operator_repr: str = "stored"
     matrix_free: bool = False
+    use_pallas: bool = False
 
     def mad_config(self) -> MADConfig:
         return MADConfig(
@@ -82,6 +83,7 @@ class VEDConfig:
             coarse_operator=self.coarse_operator,
             operator_repr=self.operator_repr,
             matrix_free=self.matrix_free,
+            use_pallas=self.use_pallas,
         )
 
 
