@@ -124,6 +124,17 @@ class StencilOperator:
     def offdiag_apply(self, x: jnp.ndarray) -> jnp.ndarray:
         return offdiag_apply(self, x)
 
+    def offdiag_abs_rowsum(self) -> jnp.ndarray:
+        """Per-row sum of |off-diagonal coefficients| (Gershgorin radius)."""
+        c = self.center_index
+        out = None
+        for k, plane in enumerate(self.coeffs):
+            if k == c:
+                continue
+            a = jnp.abs(plane)
+            out = a if out is None else out + a
+        return out
+
     def __repr__(self) -> str:
         return f"StencilOperator(K={len(self.offsets)}, shape={self.shape})"
 

@@ -135,6 +135,16 @@ class CompressedDCAOperator:
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
         return self.diag_plane * x + self.offdiag_apply(x)
 
+    def offdiag_abs_rowsum(self) -> jnp.ndarray:
+        """Per-row sum of |off-diagonal coefficients| (Gershgorin radius)."""
+        out = None
+        for p in list(self.face_p) + list(self.face_m):
+            a = jnp.abs(p)
+            out = a if out is None else out + a
+        for m in self.mixed:
+            out = out + 4.0 * jnp.abs(m)
+        return out
+
     def __repr__(self) -> str:
         return f"CompressedDCAOperator(shape={self.shape})"
 

@@ -150,5 +150,30 @@ class MatrixFreeDCAOperator:
     def offdiag_apply(self, x: jnp.ndarray) -> jnp.ndarray:
         return self._offdiag_terms(x)
 
+    def offdiag_abs_rowsum(self) -> jnp.ndarray:
+        """Per-row sum of |off-diagonal coefficients| (Gershgorin radius)."""
+        ndim = self.ndim
+        dt = self.time_step
+        h = self.spacing
+        out = None
+
+        def acc(v):
+            nonlocal out
+            out = v if out is None else out + v
+
+        for d in range(ndim):
+            v2 = (-dt / (h[d] * h[d])) * self._m(d, d)
+            t = None
+            for d2 in range(ndim):
+                w = -dt / (4.0 * h[d] * h[d2])
+                dm = _tensor_derivative(self._m(d, d2), d2) * w
+                t = dm if t is None else t + dm
+            acc(jnp.abs(v2 + t) + jnp.abs(v2 - t))
+        for d in range(ndim):
+            for d2 in range(d + 1, ndim):
+                m = 2.0 * (-dt / (4.0 * h[d] * h[d2])) * self._m(d, d2)
+                acc(4.0 * jnp.abs(m))
+        return out
+
     def __repr__(self) -> str:
         return f"MatrixFreeDCAOperator(shape={self.shape}, dt={self.time_step})"

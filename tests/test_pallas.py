@@ -43,6 +43,19 @@ def test_pallas_rbgs_repeated(rng):
     np.testing.assert_allclose(np.asarray(x), np.asarray(xg), rtol=1e-11, atol=1e-11)
 
 
+def test_pallas_y_tiled(rng):
+    """Force a y-tile smaller than Y to exercise the halo-row path."""
+    shape = (6, 8, 10)
+    tensor = make_spd_tensor_field(rng, shape, 3, hi=3.0)
+    comp = assemble_compressed_dca(as_sym_planes(tensor, shape), (1.0,) * 3, 0.1)
+    x = jnp.asarray(rng.normal(size=shape))
+    b = jnp.asarray(rng.normal(size=shape))
+    want = np.asarray(rb_gauss_seidel_sweep(comp, x, b))
+    for ty in (2, 4, 8):
+        got = np.asarray(pallas_rbgs_sweep(comp, x, b, interpret=True, ty=ty))
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12, err_msg=f"ty={ty}")
+
+
 def test_pallas_rejects_2d(rng):
     shape = (8, 8)
     tensor = make_spd_tensor_field(rng, shape, 2)

@@ -128,3 +128,26 @@ def test_ved_reference_volume():
     vess = np.asarray(res.vesselness)
     assert float(vess.max()) > 0.1
     assert float((vess > 0.01).mean()) < 0.5  # sparse
+
+
+@needs_data
+@pytest.mark.skipif(
+    not os.environ.get("MAD_RUN_SLOW_TESTS"),
+    reason="large volume; set MAD_RUN_SLOW_TESTS=1 to run",
+)
+def test_ved_reference_volume_2():
+    """The second (commented-in) reference volume: 134x140x119 at 0.33 iso,
+    omega=1.2 (test/itkVEDTest_GS.cxx:30-31,94-95)."""
+    img = read_meta_image(os.path.join(REFERENCE_DATA, "ved_test_2.mhd"))
+    assert img.data.shape == (119, 140, 134)
+    cfg = VEDConfig(
+        omega=1.2,
+        diffusion_iterations=4,
+        diffusion_iterations_per_grid=3,
+        time_step=0.1,
+        tolerance=1e-10,
+        operator_repr="compressed",
+    )
+    res = ved(img.data.astype(np.float64), spacing=img.spacing, config=cfg)
+    assert np.all(np.asarray(res.diffusion.final_residual) <= 1e-10)
+    assert np.all(np.isfinite(np.asarray(res.output)))
