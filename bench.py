@@ -315,7 +315,7 @@ def main():
             subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT, timeout=3000)
         out = open(log_path).read()
         for line in out.splitlines():
-            if line.startswith("{"):
+            if line.startswith("{") and '"metric"' in line:
                 print(line)
                 return
         last = out[-2000:]

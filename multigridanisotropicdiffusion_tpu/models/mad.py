@@ -40,7 +40,7 @@ from ..core.stencil import StencilOperator, l2_norm, residual
 from ..ops.coarse import CoarseSolver, build_coarse_solver, coarse_solve
 from ..ops.dca import assemble_dca
 from ..ops.galerkin import assemble_galerkin
-from ..ops.smoothers import DEFAULT_JACOBI_WEIGHT, make_smoother
+from ..ops.smoothers import DEFAULT_JACOBI_WEIGHT, make_residual, make_smoother
 from ..ops.transfer import prolong, restrict, restrict_tensor
 
 VCYCLE = "vcycle"
@@ -164,6 +164,7 @@ def v_cycle(
     b: jnp.ndarray,
     level: int = 0,
     constrain=_no_constraint,
+    resid=residual,
 ) -> jnp.ndarray:
     """One V-cycle starting at ``level`` (reference VCycle, .hxx:341-493).
 
@@ -178,13 +179,13 @@ def v_cycle(
     op = hier.operators[level]
     for _ in range(iterations_per_grid):
         x = smooth(op, x, b)
-    r = residual(op, x, b)
+    r = resid(op, x, b)
 
     child_centering = levels[level + 1].centering
     rc = constrain(level + 1, restrict(r, child_centering))
     ec = v_cycle(
         hier, levels, smooth, iterations_per_grid, jnp.zeros_like(rc), rc,
-        level + 1, constrain,
+        level + 1, constrain, resid,
     )
     x = constrain(level, x + prolong(ec, child_centering))
 
@@ -201,21 +202,25 @@ def full_multigrid(
     b: jnp.ndarray,
     level: int = 0,
     constrain=_no_constraint,
+    resid=residual,
 ) -> jnp.ndarray:
     """Full multigrid initialization (reference FullMultiGrid, .hxx:300-338)."""
     coarsest = len(levels) - 1
     if level == coarsest:
         x = jnp.zeros_like(b)
         for _ in range(iterations_per_grid):
-            x = v_cycle(hier, levels, smooth, iterations_per_grid, x, b, level, constrain)
+            x = v_cycle(hier, levels, smooth, iterations_per_grid, x, b, level,
+                        constrain, resid)
         return x
 
     child_centering = levels[level + 1].centering
     bc = constrain(level + 1, restrict(b, child_centering))
-    xc = full_multigrid(hier, levels, smooth, iterations_per_grid, bc, level + 1, constrain)
+    xc = full_multigrid(hier, levels, smooth, iterations_per_grid, bc, level + 1,
+                        constrain, resid)
     x = constrain(level, prolong(xc, child_centering))
     for _ in range(iterations_per_grid):
-        x = v_cycle(hier, levels, smooth, iterations_per_grid, x, b, level, constrain)
+        x = v_cycle(hier, levels, smooth, iterations_per_grid, x, b, level,
+                    constrain, resid)
     return x
 
 
@@ -239,10 +244,11 @@ def _solve_time_step(
 ):
     """One implicit time step: iterate cycles until the relative L2 residual
     falls below tolerance or max_cycles is hit (do-while, .hxx:207-246)."""
+    pallas_ok = config.use_pallas and constrain is _no_constraint
     smooth = make_smoother(
-        config.smoother, config.jacobi_weight,
-        use_pallas=config.use_pallas and constrain is _no_constraint,
+        config.smoother, config.jacobi_weight, use_pallas=pallas_ok
     )
+    resid = make_residual(use_pallas=pallas_ok)
     op0 = hier.operators[0]
     dtype = b.dtype
 
@@ -251,7 +257,8 @@ def _solve_time_step(
 
     if config.cycle == FMG:
         x0 = full_multigrid(
-            hier, levels, smooth, config.iterations_per_grid, b, 0, constrain
+            hier, levels, smooth, config.iterations_per_grid, b, 0, constrain,
+            resid,
         )
     else:
         x0 = b  # previous step's solution as initial guess (.hxx:180-201)
@@ -260,7 +267,8 @@ def _solve_time_step(
         if config.cycle == SMOOTHER:
             return smooth(op0, x, b)
         return v_cycle(
-            hier, levels, smooth, config.iterations_per_grid, x, b, 0, constrain
+            hier, levels, smooth, config.iterations_per_grid, x, b, 0,
+            constrain, resid,
         )
 
     def cond(carry):
@@ -270,7 +278,7 @@ def _solve_time_step(
     def body(carry):
         x, k, _, hist = carry
         x = one_cycle(x)
-        relres = l2_norm(residual(op0, x, b)) / rhs_norm
+        relres = l2_norm(resid(op0, x, b)) / rhs_norm
         hist = hist.at[k].set(relres)
         return x, k + 1, relres, hist
 

@@ -1,28 +1,36 @@
-"""Pallas TPU kernels for the red-black Gauss-Seidel smoother (3D, compressed
-DCA operator).
+"""Pallas TPU kernels for the hot V-cycle passes on the compressed DCA
+operator (3D): red-black Gauss-Seidel half-sweeps and the residual.
 
 The XLA path materializes a padded copy of ``x`` and a color-select per
-half-sweep; this kernel fuses everything — neighbor access, the 18-term
-coefficient contraction, the parity select and the Jacobi-style update — into
-one VMEM-tiled pass.  Grid = (z-plane, y-tile): each program owns a
-``(1, TY, X)`` block.  Neighbor data arrives as extra inputs whose BlockSpec
-index maps *clamp* at the domain borders:
+half-sweep; these kernels fuse everything — neighbor access, the 18-term
+coefficient contraction, and the parity select / residual combine — into one
+VMEM-tiled pass.  Grid = (z-plane, y-tile): each program owns a ``(1, TY, X)``
+block of the output.
 
-* the three z-positions of ``x`` (z-1, z, z+1) as full blocks,
-* two one-row y-halo blocks per z-position (rows ``j*TY - 1`` and
-  ``(j+1)*TY``).
+Neighbor access:
 
-Clamping is safe without masking because the compressed operator is
-boundary-folded: every coefficient that would multiply an out-of-domain value
-is exactly zero (``face_m[d]`` vanishes on the first shell of dimension d,
-mixed planes vanish on all border shells), so whatever a clamped read returns
-is multiplied by 0.  In-block x-neighbors use zero-padded shifts — same
-argument.
+* z neighbors: the three z-positions of ``x`` (z-1, z, z+1) arrive as separate
+  inputs whose BlockSpec index maps *clamp* at the domain borders.
+* x neighbors: pure lane rotations (``pltpu.roll`` — zero-padded shifts lower
+  to unsupported offset-mismatched lane concats in Mosaic).
+* y neighbors, full-plane tiles (TY == Y): sublane rotations, no extra inputs.
+* y neighbors, tiled (TY < Y): two y-halo blocks per z-position covering
+  global rows ``j*TY - 1`` and ``(j+1)*TY``.  Mosaic requires the
+  second-to-last block dim to be a multiple of 8 (or the full axis), so halos
+  are fetched as 8-row blocks — the top halo is the *last* row of the
+  preceding 8-row block, the bottom halo the *first* row of the following one
+  — and stitched around the main block in-kernel.
 
-The y-tile height adapts to the VMEM budget (TY must divide Y); grids whose
-planes cannot be tiled fall back to the XLA sweep.  Measured at 256^3 f32 on
-TPU v5e: 2.39 ms/sweep = 7.0e9 voxel-updates/s, ~HBM speed-of-light.
-Correctness-tested in interpreter mode on CPU.
+Clamped/wrapped reads are safe without masking because the compressed
+operator is boundary-folded: every coefficient that would multiply an
+out-of-domain value is exactly zero (``face_m[d]`` vanishes on the first
+shell of dimension d, mixed planes vanish on all border shells), so whatever
+a clamped or rotated read returns is multiplied by 0.
+
+The y-tile height adapts to the ~16 MB/core VMEM budget (TY must divide Y);
+grids whose planes cannot be tiled fall back to the XLA sweep.
+Correctness-tested in interpreter mode on CPU and against the XLA path on
+TPU.
 """
 
 from __future__ import annotations
@@ -33,65 +41,120 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .compressed import CompressedDCAOperator
 
-#: VMEM budget for the ~14 double-buffered main blocks of the kernel.
-_MAIN_BLOCK_BUDGET_BYTES = 12 * 1024 * 1024 // (14 * 2)
+#: VMEM budget for the ~15 double-buffered main blocks of the kernel.
+_MAIN_BLOCK_BUDGET_BYTES = 12 * 1024 * 1024 // (15 * 2)
 
 
 def pick_y_tile(y: int, x: int, itemsize: int = 4) -> int | None:
-    """Largest divisor TY of Y whose (TY, X) block fits the VMEM budget."""
+    """Largest valid y-tile TY whose (TY, X) block fits the VMEM budget.
+
+    Mosaic constraint: a (1, TY, X) block needs TY % 8 == 0 or TY == Y (the
+    last dim always uses the full X).  Tiled halos additionally need
+    Y % 8 == 0 (8-row halo blocks)."""
     best = None
     for ty in range(1, y + 1):
-        if y % ty == 0 and ty * x * itemsize <= _MAIN_BLOCK_BUDGET_BYTES:
+        if y % ty != 0 or ty * x * itemsize > _MAIN_BLOCK_BUDGET_BYTES:
+            continue
+        if ty == y or (ty % 8 == 0 and y % 8 == 0):
             best = ty
     return best
 
 
-def _shift_x(a: jnp.ndarray, dx: int) -> jnp.ndarray:
-    """Shift a (1, T, X) block along x with zero fill."""
-    if dx == 0:
+def _roll(a: jnp.ndarray, shift: int, axis: int) -> jnp.ndarray:
+    """``out[..., i, ...] = a[..., i + shift, ...]`` as a pure rotation."""
+    if shift == 0:
         return a
-    padded = jnp.pad(a, ((0, 0), (0, 0), (1, 1)))
-    return padded[:, :, 1 + dx : 1 + dx + a.shape[2]]
+    return pltpu.roll(a, (-shift) % a.shape[axis], axis=axis)
 
 
-def _rbgs_halfsweep_kernel(
-    color: int,
+def _offdiag_contraction(coeffs, sh):
+    """The 18-term off-diagonal contraction of the compressed DCA operator.
+
+    ``coeffs`` = (fpz, fmz, fpy, fmy, fpx, fmx, mzy, mzx, myx) blocks;
+    ``sh(zpos, dy, dx)`` returns the x-block at z-offset ``zpos`` shifted by
+    (dy, dx) within the plane."""
+    fpz, fmz, fpy, fmy, fpx, fmx, mzy, mzx, myx = coeffs
+    off = fpz * sh(1, 0, 0) + fmz * sh(-1, 0, 0)
+    off += fpy * sh(0, 1, 0) + fmy * sh(0, -1, 0)
+    off += fpx * sh(0, 0, 1) + fmx * sh(0, 0, -1)
+    off += mzy * (sh(1, 1, 0) - sh(1, -1, 0) - sh(-1, 1, 0) + sh(-1, -1, 0))
+    off += mzx * (sh(1, 0, 1) - sh(1, 0, -1) - sh(-1, 0, 1) + sh(-1, 0, -1))
+    off += myx * (sh(0, 1, 1) - sh(0, 1, -1) - sh(0, -1, 1) + sh(0, -1, -1))
+    return off
+
+
+def _stencil_kernel(
+    emit,
     ty: int,
-    # 10 coefficient refs
-    fpz, fmz, fpy, fmy, fpx, fmx, mzy, mzx, myx, diag,
-    # x at z-1/z/z+1: main blocks + (top, bottom) y-halo rows
-    xzm, xzm_t, xzm_b, xc, xc_t, xc_b, xzp, xzp_t, xzp_b,
-    b, out,
+    hh: int,
+    aligned: bool,
+    full_plane: bool,
+    y: int,
+    *refs,
 ):
+    """Shared kernel body: assemble shifted x-views, contract, emit output.
+
+    ``emit(off, xc_blk, coeff_refs, b_ref, out_ref, k, j)`` writes the block.
+    """
     k = pl.program_id(0)
     j = pl.program_id(1)
 
-    def padded(main, top, bot):
-        # (1, TY + 2, X): y-halo rows stitched around the main block
-        return jnp.concatenate([top[...], main[...], bot[...]], axis=1)
+    coeff_refs = refs[:10]
+    if full_plane:
+        xzm, xc, xzp, b, out = refs[10:]
+        planes = {-1: xzm[...], 0: xc[...], 1: xzp[...]}
 
-    pm = padded(xzm, xzm_t, xzm_b)
-    pc = padded(xc, xc_t, xc_b)
-    pp = padded(xzp, xzp_t, xzp_b)
+        def sh(zpos, dy, dx):
+            return _roll(_roll(planes[zpos], dy, 1), dx, 2)
 
-    def sh(p, dy, dx):
-        # y-shifted (and x-shifted) view of a padded block
-        return _shift_x(p[:, 1 + dy : 1 + dy + ty, :], dx)
+        xc_blk = planes[0]
+    else:
+        (xzm, xzm_t, xzm_b, xc, xc_t, xc_b, xzp, xzp_t, xzp_b, b, out) = refs[10:]
 
-    xc_blk = sh(pc, 0, 0)
+        if aligned:
+            # 8-row halo blocks: the top block's LAST row is global row
+            # j*ty - 1, the bottom block's FIRST row is (j+1)*ty.  At domain
+            # borders the blocks are index-clamped and carry garbage, which
+            # every use multiplies by an exactly-zero folded coefficient.
+            top_row = lambda t: t[:, hh - 1 : hh, :]
+            bot_row = lambda t: t[:, 0:1, :]
+        else:
+            # full-axis halo blocks (y not 8-aligned, interpret/fallback
+            # path): pick the exact global rows dynamically
+            top_row = lambda t: jax.lax.dynamic_slice_in_dim(
+                t[...], jnp.maximum(j * ty - 1, 0), 1, axis=1
+            )
+            bot_row = lambda t: jax.lax.dynamic_slice_in_dim(
+                t[...], jnp.minimum((j + 1) * ty, y - 1), 1, axis=1
+            )
 
-    off = fpz[...] * sh(pp, 0, 0) + fmz[...] * sh(pm, 0, 0)
-    off += fpy[...] * sh(pc, 1, 0) + fmy[...] * sh(pc, -1, 0)
-    off += fpx[...] * sh(pc, 0, 1) + fmx[...] * sh(pc, 0, -1)
-    off += mzy[...] * (sh(pp, 1, 0) - sh(pp, -1, 0) - sh(pm, 1, 0) + sh(pm, -1, 0))
-    off += mzx[...] * (sh(pp, 0, 1) - sh(pp, 0, -1) - sh(pm, 0, 1) + sh(pm, 0, -1))
-    off += myx[...] * (sh(pc, 1, 1) - sh(pc, 1, -1) - sh(pc, -1, 1) + sh(pc, -1, -1))
+        def padded(main, top, bot):
+            # (1, TY + 2, X): y-halo rows stitched around the main block
+            return jnp.concatenate([top_row(top), main[...], bot_row(bot)], axis=1)
 
+        planes = {
+            -1: padded(xzm, xzm_t, xzm_b),
+            0: padded(xc, xc_t, xc_b),
+            1: padded(xzp, xzp_t, xzp_b),
+        }
+
+        def sh(zpos, dy, dx):
+            return _roll(planes[zpos][:, 1 + dy : 1 + dy + ty, :], dx, 2)
+
+        xc_blk = planes[0][:, 1 : 1 + ty, :]
+
+    coeffs = tuple(r[...] for r in coeff_refs[:9])
+    off = _offdiag_contraction(coeffs, sh)
+    emit(off, xc_blk, coeff_refs, b, out, k, j)
+
+
+def _emit_halfsweep(color: int, ty: int, off, xc_blk, coeff_refs, b, out, k, j):
+    diag = coeff_refs[9]
     upd = (b[...] - off) / diag[...]
-
     shp = xc_blk.shape
     row = jax.lax.broadcasted_iota(jnp.int32, shp, 1) + j * ty
     col = jax.lax.broadcasted_iota(jnp.int32, shp, 2)
@@ -99,14 +162,28 @@ def _rbgs_halfsweep_kernel(
     out[...] = jnp.where(parity == color, upd, xc_blk)
 
 
-@functools.lru_cache(maxsize=16)
-def _build_halfsweep(shape: Tuple[int, ...], dtype_name: str, color: int,
-                     ty: int, interpret: bool):
+def _emit_residual(off, xc_blk, coeff_refs, b, out, k, j):
+    diag = coeff_refs[9]
+    out[...] = b[...] - diag[...] * xc_blk - off
+
+
+@functools.lru_cache(maxsize=64)
+def _build_stencil_pass(shape: Tuple[int, ...], dtype_name: str, kind: str,
+                        color: int, ty: int, interpret: bool):
+    """Compile one grid pass over the compressed operator.
+
+    ``kind``: 'halfsweep' (uses ``color``) or 'residual'."""
     z, y, x = shape
     dtype = jnp.dtype(dtype_name)
     ny = y // ty
     main = (1, ty, x)
-    row = (1, 1, x)
+    full_plane = ty == y
+    # Halo block height: 8-row blocks when the grid is 8-aligned (Mosaic's
+    # minimum for a non-full second-to-last dim), else the full axis.
+    aligned = ty % 8 == 0 and y % 8 == 0
+    hh = 8 if aligned else y
+    halo = (1, hh, x)
+    nh = ty // hh if aligned else 0  # halo blocks per tile (8-aligned case)
 
     def zc(k):
         return k
@@ -121,26 +198,42 @@ def _build_halfsweep(shape: Tuple[int, ...], dtype_name: str, color: int,
         return pl.BlockSpec(main, lambda k, j, zf=zf: (zf(k), j, 0))
 
     def top_at(zf):
-        # global row j*ty - 1, clamped; block shape (1, 1, X) so the y block
-        # index is the absolute row index
+        # the hh-row block whose LAST row is global row j*ty - 1 (block
+        # index j*ty/hh - 1), clamped into range at the j == 0 border
         return pl.BlockSpec(
-            row, lambda k, j, zf=zf: (zf(k), jnp.maximum(j * ty - 1, 0), 0)
+            halo, lambda k, j, zf=zf: (zf(k), jnp.maximum(j * nh - 1, 0), 0)
         )
 
     def bot_at(zf):
+        # the hh-row block whose FIRST row is global row (j+1)*ty, clamped
         return pl.BlockSpec(
-            row, lambda k, j, zf=zf: (zf(k), jnp.minimum((j + 1) * ty, y - 1), 0)
+            halo,
+            lambda k, j, zf=zf: (zf(k), jnp.minimum((j + 1) * nh, y // hh - 1), 0),
         )
 
     coeff_spec = pl.BlockSpec(main, lambda k, j: (k, j, 0))
-    specs = [coeff_spec] * 10 + [
-        main_at(zm), top_at(zm), bot_at(zm),
-        main_at(zc), top_at(zc), bot_at(zc),
-        main_at(zp), top_at(zp), bot_at(zp),
-        coeff_spec,  # b
-    ]
+    if full_plane:
+        x_specs = [main_at(zm), main_at(zc), main_at(zp)]
+        n_x = 3
+    else:
+        x_specs = [
+            main_at(zm), top_at(zm), bot_at(zm),
+            main_at(zc), top_at(zc), bot_at(zc),
+            main_at(zp), top_at(zp), bot_at(zp),
+        ]
+        n_x = 9
+    specs = [coeff_spec] * 10 + x_specs + [coeff_spec]  # + b
 
-    kernel = functools.partial(_rbgs_halfsweep_kernel, color, ty)
+    if kind == "halfsweep":
+        emit = functools.partial(_emit_halfsweep, color, ty)
+    elif kind == "residual":
+        emit = _emit_residual
+    else:
+        raise ValueError(f"unknown kind: {kind!r}")
+
+    kernel = functools.partial(
+        _stencil_kernel, emit, ty, hh, aligned, full_plane, y
+    )
     call = pl.pallas_call(
         kernel,
         grid=(z, ny),
@@ -150,7 +243,7 @@ def _build_halfsweep(shape: Tuple[int, ...], dtype_name: str, color: int,
         interpret=interpret,
     )
 
-    def halfsweep(comp: CompressedDCAOperator, xf, b):
+    def run(comp: CompressedDCAOperator, xf, b):
         planes = (
             comp.face_p[0], comp.face_m[0],
             comp.face_p[1], comp.face_m[1],
@@ -158,9 +251,15 @@ def _build_halfsweep(shape: Tuple[int, ...], dtype_name: str, color: int,
             comp.mixed[0], comp.mixed[1], comp.mixed[2],
             comp.diag_plane,
         )
-        return call(*planes, xf, xf, xf, xf, xf, xf, xf, xf, xf, b)
+        return call(*planes, *([xf] * n_x), b)
 
-    return halfsweep
+    return run
+
+
+def _resolve_ty(shape, itemsize, ty):
+    if ty is None:
+        ty = pick_y_tile(shape[1], shape[2], itemsize)
+    return ty
 
 
 def pallas_rbgs_sweep(
@@ -179,14 +278,34 @@ def pallas_rbgs_sweep(
     if comp.ndim != 3:
         raise ValueError("pallas_rbgs_sweep supports 3D grids only")
     shape = tuple(x.shape)
-    if ty is None:
-        ty = pick_y_tile(shape[1], shape[2], x.dtype.itemsize)
+    ty = _resolve_ty(shape, x.dtype.itemsize, ty)
     if ty is None:
         from .smoothers import rb_gauss_seidel_sweep
 
         return rb_gauss_seidel_sweep(comp, x, b)
     dtype_name = str(x.dtype)
     for color in (0, 1):
-        half = _build_halfsweep(shape, dtype_name, color, ty, interpret)
+        half = _build_stencil_pass(shape, dtype_name, "halfsweep", color, ty,
+                                   interpret)
         x = half(comp, x, b)
     return x
+
+
+def pallas_residual(
+    comp: CompressedDCAOperator,
+    x: jnp.ndarray,
+    b: jnp.ndarray,
+    interpret: bool = False,
+    ty: int | None = None,
+) -> jnp.ndarray:
+    """Fused residual ``r = b - A x`` on the compressed operator via Pallas.
+
+    Falls back to the XLA apply when no y-tiling fits the VMEM budget."""
+    if comp.ndim != 3:
+        raise ValueError("pallas_residual supports 3D grids only")
+    shape = tuple(x.shape)
+    ty = _resolve_ty(shape, x.dtype.itemsize, ty)
+    if ty is None:
+        return b - comp.apply(x)
+    run = _build_stencil_pass(shape, str(x.dtype), "residual", 0, ty, interpret)
+    return run(comp, x, b)

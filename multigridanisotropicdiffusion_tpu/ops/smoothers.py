@@ -98,6 +98,29 @@ def make_smoother(
     raise ValueError(f"unknown smoother kind: {kind!r}")
 
 
+def make_residual(use_pallas: bool = False):
+    """Return ``resid(op, x, b) -> b - A x``.
+
+    With ``use_pallas``, 3D compressed-operator residuals go through the fused
+    Pallas kernel (one VMEM-tiled pass instead of XLA's padded-copy apply);
+    other operator/dimension combinations use the XLA path."""
+    from ..core.stencil import residual
+
+    if not use_pallas:
+        return residual
+
+    def resid(op, x, b):
+        from .compressed import CompressedDCAOperator
+        from .pallas_smoothers import pallas_residual
+
+        if isinstance(op, CompressedDCAOperator) and op.ndim == 3:
+            interpret = jax.default_backend() != "tpu"
+            return pallas_residual(op, x, b, interpret=interpret)
+        return residual(op, x, b)
+
+    return resid
+
+
 #: Chebyshev smoother defaults: polynomial degree per smooth() call, and the
 #: targeted upper spectral fraction [lmax/ratio, lmax] of D^-1 A.
 CHEBYSHEV_DEGREE = 3

@@ -6,7 +6,10 @@ import pytest
 
 from multigridanisotropicdiffusion_tpu.core.symfield import as_sym_planes
 from multigridanisotropicdiffusion_tpu.ops.compressed import assemble_compressed_dca
-from multigridanisotropicdiffusion_tpu.ops.pallas_smoothers import pallas_rbgs_sweep
+from multigridanisotropicdiffusion_tpu.ops.pallas_smoothers import (
+    pallas_rbgs_sweep,
+    pallas_residual,
+)
 from multigridanisotropicdiffusion_tpu.ops.smoothers import rb_gauss_seidel_sweep
 
 from .conftest import make_spd_tensor_field
@@ -54,6 +57,32 @@ def test_pallas_y_tiled(rng):
     for ty in (2, 4, 8):
         got = np.asarray(pallas_rbgs_sweep(comp, x, b, interpret=True, ty=ty))
         np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12, err_msg=f"ty={ty}")
+
+
+def test_pallas_y_tiled_8aligned(rng):
+    """8-aligned y-tiling — the exact block/halo layout used on real TPU
+    (8-row halo blocks, statically sliced)."""
+    shape = (5, 24, 9)
+    tensor = make_spd_tensor_field(rng, shape, 3, hi=3.0)
+    comp = assemble_compressed_dca(as_sym_planes(tensor, shape), (1.0,) * 3, 0.1)
+    x = jnp.asarray(rng.normal(size=shape))
+    b = jnp.asarray(rng.normal(size=shape))
+    want = np.asarray(rb_gauss_seidel_sweep(comp, x, b))
+    for ty in (8, 24):
+        got = np.asarray(pallas_rbgs_sweep(comp, x, b, interpret=True, ty=ty))
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12, err_msg=f"ty={ty}")
+
+
+def test_pallas_residual_matches_xla(rng):
+    for shape, ty in (((6, 7, 9), None), ((5, 24, 9), 8), ((4, 16, 8), 16)):
+        tensor = make_spd_tensor_field(rng, shape, 3, hi=3.0)
+        comp = assemble_compressed_dca(as_sym_planes(tensor, shape), (1.0,) * 3, 0.1)
+        x = jnp.asarray(rng.normal(size=shape))
+        b = jnp.asarray(rng.normal(size=shape))
+        got = np.asarray(pallas_residual(comp, x, b, interpret=True, ty=ty))
+        want = np.asarray(b - comp.apply(x))
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12,
+                                   err_msg=f"shape={shape} ty={ty}")
 
 
 def test_pallas_rejects_2d(rng):
