@@ -80,6 +80,17 @@ class MADConfig:
     #: Pallas TPU kernel (~2.3x the XLA sweep); single-device only — ignored
     #: when a mesh is given.
     use_pallas: bool = False
+    #: distribution strategy when a mesh is given (ignored otherwise):
+    #:   'gspmd'     — global-view ops + sharding constraints; XLA's SPMD
+    #:                 partitioner inserts the halo exchanges;
+    #:   'shard_map' — explicit per-block sweeps, ppermute halo exchange
+    #:                 before each contraction (parallel.halo);
+    #:   'overlap'   — like shard_map, but the interior contraction runs
+    #:                 concurrently with the exchange and only the 1-voxel
+    #:                 boundary slabs wait on the halos.
+    #: shard_map/overlap require operator_repr='stored' and a GS/Jacobi
+    #: smoother.
+    halo: str = "gspmd"
 
     def __post_init__(self):
         if self.cycle not in (VCYCLE, FMG, SMOOTHER):
@@ -88,6 +99,8 @@ class MADConfig:
             raise ValueError(f"unknown coarse operator: {self.coarse_operator!r}")
         if self.operator_repr not in ("stored", "compressed", "matrix_free"):
             raise ValueError(f"unknown operator_repr: {self.operator_repr!r}")
+        if self.halo not in ("gspmd", "shard_map", "overlap"):
+            raise ValueError(f"unknown halo mode: {self.halo!r}")
 
     @property
     def effective_operator_repr(self) -> str:
@@ -241,14 +254,18 @@ def _solve_time_step(
     config: MADConfig,
     b: jnp.ndarray,
     constrain=_no_constraint,
+    smooth=None,
+    resid=None,
 ):
     """One implicit time step: iterate cycles until the relative L2 residual
     falls below tolerance or max_cycles is hit (do-while, .hxx:207-246)."""
     pallas_ok = config.use_pallas and constrain is _no_constraint
-    smooth = make_smoother(
-        config.smoother, config.jacobi_weight, use_pallas=pallas_ok
-    )
-    resid = make_residual(use_pallas=pallas_ok)
+    if smooth is None:
+        smooth = make_smoother(
+            config.smoother, config.jacobi_weight, use_pallas=pallas_ok
+        )
+    if resid is None:
+        resid = make_residual(use_pallas=pallas_ok)
     op0 = hier.operators[0]
     dtype = b.dtype
 
@@ -288,10 +305,13 @@ def _solve_time_step(
     return x, k, relres, hist
 
 
-def _solve_all_steps(hier, levels, config, b, constrain=_no_constraint):
+def _solve_all_steps(hier, levels, config, b, constrain=_no_constraint,
+                     smooth=None, resid=None):
     hists, counts, finals = [], [], []
     for _ in range(config.number_of_steps):
-        b, k, relres, hist = _solve_time_step(hier, levels, config, b, constrain)
+        b, k, relres, hist = _solve_time_step(
+            hier, levels, config, b, constrain, smooth, resid
+        )
         hists.append(hist)
         counts.append(k)
         finals.append(relres)
@@ -320,6 +340,48 @@ def _make_constraint(mesh, levels: Tuple[GridLevel, ...], min_local: int):
     return constrain
 
 
+def _make_halo_ops(mesh, levels: Tuple[GridLevel, ...], min_local: int,
+                   config: MADConfig):
+    """Explicit shard_map halo-exchange smoother/residual (halo='shard_map' /
+    'overlap'), dispatching the per-level PartitionSpec on array shape."""
+    from ..parallel.halo import (
+        make_halo_jacobi_sweep,
+        make_halo_rbgs_sweep,
+        make_halo_residual,
+    )
+    from ..parallel.sharding import level_spec
+
+    if config.effective_operator_repr != "stored":
+        raise ValueError(
+            "halo='shard_map'/'overlap' requires operator_repr='stored' "
+            f"(got {config.effective_operator_repr!r})"
+        )
+    overlap = config.halo == "overlap"
+    specs = {
+        lvl.shape: level_spec(mesh, lvl.shape, min_local) for lvl in levels
+    }
+
+    if config.smoother in ("gauss_seidel", "gs", "rbgs"):
+        def smooth(op, x, b):
+            return make_halo_rbgs_sweep(
+                mesh, specs[tuple(x.shape)], overlap)(op, x, b)
+    elif config.smoother in ("weighted_jacobi", "wj", "jacobi"):
+        def smooth(op, x, b):
+            return make_halo_jacobi_sweep(
+                mesh, specs[tuple(x.shape)], config.jacobi_weight, overlap
+            )(op, x, b)
+    else:
+        raise ValueError(
+            "halo='shard_map'/'overlap' supports gauss_seidel / "
+            f"weighted_jacobi smoothers (got {config.smoother!r})"
+        )
+
+    def resid(op, x, b):
+        return make_halo_residual(mesh, specs[tuple(x.shape)], overlap)(op, x, b)
+
+    return smooth, resid
+
+
 @functools.lru_cache(maxsize=32)
 def _compiled_hierarchy_builder(
     levels: Tuple[GridLevel, ...],
@@ -346,9 +408,12 @@ def _compiled_solver(
     min_local: int = 8,
 ):
     constrain = _make_constraint(mesh, levels, min_local)
+    smooth = resid = None
+    if mesh is not None and config.halo != "gspmd":
+        smooth, resid = _make_halo_ops(mesh, levels, min_local, config)
 
     def run(hier, b):
-        return _solve_all_steps(hier, levels, config, b, constrain)
+        return _solve_all_steps(hier, levels, config, b, constrain, smooth, resid)
 
     return jax.jit(run)
 

@@ -1,13 +1,20 @@
-"""Explicit halo-exchange smoothers: shard_map + ppermute.
+"""Explicit halo-exchange smoothers: shard_map + ppermute, with optional
+interior/boundary overlap.
 
 The default distribution path (:mod:`.sharding`) writes global-view ops and
 lets XLA's SPMD partitioner insert halo exchanges.  This module is the
 hand-scheduled alternative: each device owns a block, one-voxel face halos
 move between ICI neighbors via ``lax.ppermute``, and the smoother runs on the
-local block with its halo ring.  This is the foundation for overlapping halo
-transfer with interior compute (issue the ppermute, sweep the interior,
-then finish the one-voxel boundary shell) and for Pallas kernels that fold
-the exchange into the sweep via ``make_async_remote_copy``.
+local block with its halo ring.
+
+With ``overlap=True`` the sweep is restructured for communication/compute
+overlap: the full-block stencil contraction is computed against *zero* halos
+— carrying no data dependency on any collective, so XLA's latency-hiding
+scheduler runs it concurrently with the ppermutes — and once the halos
+arrive, only the 1-voxel boundary slabs of the sharded dimensions are
+recomputed with the true neighbor values and spliced in.  The slab recompute
+is O(surface) vs the O(volume) interior, so the exposed communication cost is
+just the splice.
 
 Semantics: ghost values outside the *global* domain are zero — exactly the
 contract of the boundary-folded operators (out-of-range coefficients are
@@ -80,6 +87,77 @@ def _local_offdiag(op_local: StencilOperator, x_pad: jnp.ndarray) -> jnp.ndarray
     return out
 
 
+def _sharded_dims(mesh: Mesh, spec: PartitionSpec, ndim: int):
+    """Dimensions whose halos actually cross device boundaries."""
+    out = []
+    for d in range(ndim):
+        axis_name = spec[d] if d < len(spec) else None
+        if axis_name is not None and mesh.shape[axis_name] > 1:
+            out.append(d)
+    return tuple(out)
+
+
+def _local_offdiag_slab(
+    op_local: StencilOperator, x_pad: jnp.ndarray, d: int, lo: bool
+) -> jnp.ndarray:
+    """Off-diagonal contraction for the 1-thick boundary slab of dim ``d``
+    (low or high side), read from the *fully halo-padded* local block — the
+    complete, correct value for those cells (including corner terms that
+    reference halos of other dimensions)."""
+    shape = op_local.shape
+    ndim = len(shape)
+    c = op_local.center_index
+    pos = 0 if lo else shape[d] - 1
+    coeff_sl = tuple(
+        slice(pos, pos + 1) if dd == d else slice(None) for dd in range(ndim)
+    )
+    out = None
+    for k, off in enumerate(op_local.offsets):
+        if k == c:
+            continue
+        sl = tuple(
+            slice(1 + pos + o, 2 + pos + o)
+            if dd == d
+            else slice(1 + o, 1 + o + s)
+            for dd, (o, s) in enumerate(zip(off, shape))
+        )
+        term = op_local.coeffs[k][coeff_sl] * x_pad[sl]
+        out = term if out is None else out + term
+    return out
+
+
+def _offdiag_exchange(
+    op_local: StencilOperator,
+    x_l: jnp.ndarray,
+    mesh: Mesh,
+    spec: PartitionSpec,
+    overlap: bool,
+) -> jnp.ndarray:
+    """Off-diagonal contraction of the local block with true neighbor halos.
+
+    ``overlap=False``: exchange first, then one contraction over the padded
+    block (compute waits on communication).  ``overlap=True``: contract
+    against zero halos immediately (correct everywhere except the boundary
+    slabs of device-sharded dims, since unsharded/global borders have
+    exactly-zero folded coefficients), then recompute just those slabs from
+    the received halos and splice them in.
+    """
+    ndim = x_l.ndim
+    if not overlap:
+        return _local_offdiag(op_local, _exchange_halos(x_l, mesh, spec))
+
+    # interior compute: zero halos, no collective in the dependency chain
+    off = _local_offdiag(op_local, jnp.pad(x_l, 1))
+    x_pad = _exchange_halos(x_l, mesh, spec)
+    for d in _sharded_dims(mesh, spec, ndim):
+        for lo in (True, False):
+            slab = _local_offdiag_slab(op_local, x_pad, d, lo)
+            start = [0] * ndim
+            start[d] = 0 if lo else x_l.shape[d] - 1
+            off = lax.dynamic_update_slice(off, slab, tuple(start))
+    return off
+
+
 def _global_parity(shape_local: Tuple[int, ...], mesh: Mesh, spec: PartitionSpec):
     """Checkerboard parity from global coordinates (True = even sum)."""
     acc = None
@@ -97,13 +175,15 @@ def _specs(mesh: Mesh, spec: PartitionSpec):
                 check_vma=False)
 
 
-@functools.lru_cache(maxsize=32)
-def make_halo_rbgs_sweep(mesh: Mesh, spec: PartitionSpec):
+@functools.lru_cache(maxsize=64)
+def make_halo_rbgs_sweep(mesh: Mesh, spec: PartitionSpec, overlap: bool = False):
     """Build a jittable red-black GS sweep with explicit halo exchange.
 
     Returns ``sweep(op, x, b) -> x'`` where all arrays (and operator planes)
     are sharded according to ``spec`` over ``mesh``.  Two exchanges per sweep:
-    the black half-sweep needs the freshly updated red halos.
+    the black half-sweep needs the freshly updated red halos.  With
+    ``overlap`` each half-sweep's interior contraction runs concurrently with
+    its exchange (see :func:`_offdiag_exchange`).
     """
 
     def sweep(op, x, b):
@@ -111,8 +191,8 @@ def make_halo_rbgs_sweep(mesh: Mesh, spec: PartitionSpec):
             red = _global_parity(x_l.shape, mesh, spec)
             diag = op_local.diag
             for color in (True, False):
-                x_pad = _exchange_halos(x_l, mesh, spec)
-                upd = (b_l - _local_offdiag(op_local, x_pad)) / diag
+                off = _offdiag_exchange(op_local, x_l, mesh, spec, overlap)
+                upd = (b_l - off) / diag
                 x_l = jnp.where(red == color, upd, x_l)
             return x_l
 
@@ -124,14 +204,17 @@ def make_halo_rbgs_sweep(mesh: Mesh, spec: PartitionSpec):
     return sweep
 
 
-@functools.lru_cache(maxsize=32)
-def make_halo_jacobi_sweep(mesh: Mesh, spec: PartitionSpec, omega: float = 2.0 / 3.0):
+@functools.lru_cache(maxsize=64)
+def make_halo_jacobi_sweep(
+    mesh: Mesh, spec: PartitionSpec, omega: float = 2.0 / 3.0,
+    overlap: bool = False,
+):
     """Damped-Jacobi sweep with explicit halo exchange (one exchange/sweep)."""
 
     def sweep(op, x, b):
         def local(op_local, x_l, b_l):
-            x_pad = _exchange_halos(x_l, mesh, spec)
-            upd = (b_l - _local_offdiag(op_local, x_pad)) / op_local.diag
+            off = _offdiag_exchange(op_local, x_l, mesh, spec, overlap)
+            upd = (b_l - off) / op_local.diag
             return (1.0 - omega) * x_l + omega * upd
 
         return _shard_map(
@@ -142,15 +225,14 @@ def make_halo_jacobi_sweep(mesh: Mesh, spec: PartitionSpec, omega: float = 2.0 /
     return sweep
 
 
-@functools.lru_cache(maxsize=32)
-def make_halo_residual(mesh: Mesh, spec: PartitionSpec):
+@functools.lru_cache(maxsize=64)
+def make_halo_residual(mesh: Mesh, spec: PartitionSpec, overlap: bool = False):
     """``r = b - A x`` with explicit halo exchange."""
 
     def res(op, x, b):
         def local(op_local, x_l, b_l):
-            x_pad = _exchange_halos(x_l, mesh, spec)
-            full = _local_offdiag(op_local, x_pad) + op_local.diag * x_l
-            return b_l - full
+            off = _offdiag_exchange(op_local, x_l, mesh, spec, overlap)
+            return b_l - off - op_local.diag * x_l
 
         return _shard_map(
             local, mesh=mesh,

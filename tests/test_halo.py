@@ -38,30 +38,51 @@ def problem(rng, request):
     return op, x, b, mesh, spec
 
 
+overlap_param = pytest.mark.parametrize("overlap", [False, True])
+
+
 @needs_8
-def test_halo_rbgs_matches_global(problem):
+@overlap_param
+def test_halo_rbgs_matches_global(problem, overlap):
     op, x, b, mesh, spec = problem
-    sweep = make_halo_rbgs_sweep(mesh, spec)
+    sweep = make_halo_rbgs_sweep(mesh, spec, overlap)
     got = np.asarray(jax.jit(sweep)(op, x, b))
     want = np.asarray(rb_gauss_seidel_sweep(op, x, b))
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
 
 
 @needs_8
-def test_halo_jacobi_matches_global(problem):
+@overlap_param
+def test_halo_jacobi_matches_global(problem, overlap):
     op, x, b, mesh, spec = problem
-    sweep = make_halo_jacobi_sweep(mesh, spec)
+    sweep = make_halo_jacobi_sweep(mesh, spec, overlap=overlap)
     got = np.asarray(jax.jit(sweep)(op, x, b))
     want = np.asarray(jacobi_sweep(op, x, b))
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
 
 
 @needs_8
-def test_halo_residual_matches_global(problem):
+@overlap_param
+def test_halo_residual_matches_global(problem, overlap):
     op, x, b, mesh, spec = problem
-    res = make_halo_residual(mesh, spec)
+    res = make_halo_residual(mesh, spec, overlap)
     got = np.asarray(jax.jit(res)(op, x, b))
     want = np.asarray(global_residual(op, x, b))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+@needs_8
+def test_halo_overlap_partially_replicated_mesh(rng):
+    """Axes whose spec is None (agglomerated/replicated) need no slab fixup."""
+    shape = (20, 16, 12)
+    tensor = make_spd_tensor_field(rng, shape, 3, hi=3.0)
+    op = assemble_dca(as_sym_planes(tensor, shape), (1.0,) * 3, 0.1)
+    x = jnp.asarray(rng.normal(size=shape))
+    b = jnp.asarray(rng.normal(size=shape))
+    mesh = make_grid_mesh(3, mesh_shape=(4, 2, 1))
+    spec = PartitionSpec("x", "y", None)
+    got = np.asarray(jax.jit(make_halo_rbgs_sweep(mesh, spec, True))(op, x, b))
+    want = np.asarray(rb_gauss_seidel_sweep(op, x, b))
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
 
 

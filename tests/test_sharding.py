@@ -77,6 +77,39 @@ def test_sharded_solve_matches_single_device(rng, ndim, shape, mesh_shape):
 
 
 @needs_8_devices
+@pytest.mark.parametrize("halo", ["shard_map", "overlap"])
+@pytest.mark.parametrize("cycle,smoother", [
+    ("vcycle", "gauss_seidel"),
+    ("fmg", "gauss_seidel"),
+    ("vcycle", "weighted_jacobi"),
+])
+def test_halo_mode_solve_matches_single_device(rng, halo, cycle, smoother):
+    """Explicit shard_map/overlapped halo exchange produces the same solve as
+    the single-device path — the full-solve oracle for parallel.halo."""
+    shape = (24, 24, 16)
+    tensor = make_spd_tensor_field(rng, shape, 3, hi=3.0)
+    image = rng.normal(size=shape) * 10.0
+    config = MADConfig(
+        time_step=0.1, tolerance=1e-10, max_cycles=50, cycle=cycle,
+        smoother=smoother,
+    )
+
+    ref = mad_diffusion(image, tensor, config=config)
+
+    mesh = make_grid_mesh(3, mesh_shape=(2, 2, 2))
+    cfg_halo = MADConfig(
+        time_step=0.1, tolerance=1e-10, max_cycles=50, cycle=cycle,
+        smoother=smoother, halo=halo,
+    )
+    got = mad_diffusion(image, tensor, config=cfg_halo, mesh=mesh, min_local=4)
+
+    assert int(got.num_cycles[0]) == int(ref.num_cycles[0])
+    np.testing.assert_allclose(
+        np.asarray(got.output), np.asarray(ref.output), rtol=1e-11, atol=1e-11
+    )
+
+
+@needs_8_devices
 def test_sharded_output_sharding(rng):
     """The solution comes back sharded over the mesh (no silent gather)."""
     shape = (64, 64)
