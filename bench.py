@@ -284,6 +284,108 @@ def _run_solve(n: int) -> dict:
     }
 
 
+def _run_ved(n: int) -> dict:
+    """Full VED workload at n^3 (the BASELINE.json north star): vesselness
+    pipeline (5 default scales: Hessian + analytic eig + Frangi + tensor),
+    hierarchy setup, and one implicit diffusion solve to 1e-6."""
+    import jax
+    import jax.numpy as jnp
+
+    from multigridanisotropicdiffusion_tpu.core.grids import build_level_descriptors
+    from multigridanisotropicdiffusion_tpu.models.mad import (
+        MADConfig,
+        _compiled_hierarchy_builder,
+        _compiled_solver,
+    )
+    from multigridanisotropicdiffusion_tpu.models.ved import (
+        VEDConfig,
+        _compiled_vesselness_pipeline,
+    )
+
+    dtype = jnp.float32
+    shape = (n, n, n)
+    spacing = (1.0, 1.0, 1.0)
+    cfg = VEDConfig()  # reference defaults: 5 scales, alpha=beta=0.5, ...
+    out = {}
+
+    @jax.jit
+    def make_volume(key):
+        # a few bright tubes along different axes + noise: a vesselness
+        # workload with non-trivial eigenstructure everywhere
+        axes = [
+            jnp.arange(s, dtype=dtype) for s in shape
+        ]
+        zz = axes[0][:, None, None]
+        yy = axes[1][None, :, None]
+        xx = axes[2][None, None, :]
+        c1, c2, c3 = n * 0.3, n * 0.55, n * 0.75
+        r2 = 2.0 * 2.0**2
+        vol = 80.0 * jnp.exp(-(((yy - c1) ** 2) + (xx - c2) ** 2) / r2)
+        vol += 70.0 * jnp.exp(-(((zz - c2) ** 2) + (xx - c3) ** 2) / r2)
+        vol += 90.0 * jnp.exp(-(((zz - c1) ** 2) + (yy - c3) ** 2) / r2)
+        vol += 5.0 * jax.random.normal(key, shape, dtype)
+        return vol
+
+    u = make_volume(jax.random.PRNGKey(0))
+
+    pipeline = _compiled_vesselness_pipeline(
+        shape, spacing, tuple(cfg.scales), cfg.alpha, cfg.beta, cfg.gamma,
+        cfg.epsilon, cfg.omega, cfg.sensitivity,
+    )
+
+    def run_pipeline():
+        t0 = time.perf_counter()
+        resp, tensor = pipeline(u)
+        float(np.asarray(tensor[0].ravel()[0]))  # force completion
+        return time.perf_counter() - t0, tensor
+
+    t0 = time.perf_counter()
+    _, tensor = run_pipeline()  # compile + first
+    out["ved_pipeline_compile_plus_first_s"] = time.perf_counter() - t0
+    best, tensor = min((run_pipeline() for _ in range(2)), key=lambda t: t[0])
+    out["ved_pipeline_s"] = best
+
+    levels = build_level_descriptors(shape, spacing)
+    mad_cfg = MADConfig(
+        time_step=cfg.time_step, tolerance=1e-6, max_cycles=50,
+        operator_repr="compressed", use_pallas=True,
+    )
+
+    def run_setup():
+        t0 = time.perf_counter()
+        h = _compiled_hierarchy_builder(
+            levels, mad_cfg.time_step, "dca", "compressed"
+        )(tensor)
+        float(np.asarray(h.operators[0].diag_plane.ravel()[0]))
+        return time.perf_counter() - t0, h
+
+    t0 = time.perf_counter()
+    _, hier = run_setup()
+    out["ved_setup_compile_plus_first_s"] = time.perf_counter() - t0
+    best, hier = min((run_setup() for _ in range(2)), key=lambda t: t[0])
+    out["ved_setup_s"] = best
+
+    solver = _compiled_solver(levels, mad_cfg)
+
+    def run_solve():
+        t0 = time.perf_counter()
+        res = solver(hier, u)
+        float(np.asarray(res.output.ravel()[0]))
+        return time.perf_counter() - t0, res
+
+    t0 = time.perf_counter()
+    run_solve()
+    out["ved_solve_compile_plus_first_s"] = time.perf_counter() - t0
+    best, res = min((run_solve() for _ in range(2)), key=lambda t: t[0])
+    out["ved_solve_to_1e-6_s"] = best
+    out["ved_solve_cycles"] = int(res.num_cycles[0])
+    out["ved_final_relres"] = float(res.final_residual[0])
+    out["ved_total_s"] = (
+        out["ved_pipeline_s"] + out["ved_setup_s"] + out["ved_solve_to_1e-6_s"]
+    )
+    return out
+
+
 def main():
     import subprocess
     import sys
@@ -293,8 +395,17 @@ def main():
         if "--solve-only" in args:
             print(json.dumps({"solve_only": int(args[1]), **_run_solve(int(args[1]))}))
             return
+        if "--ved-only" in args:
+            print(json.dumps({"ved_only": int(args[1]), **_run_ved(int(args[1]))}))
+            return
         with_solve = "--solve" in args
         print(run_size(int(args[1]), with_solve))
+        return
+    if args and args[0] == "--ved":
+        # VED north-star workload in its own subprocess per size
+        for n in [int(s) for s in args[1:] if s.isdigit()] or [256]:
+            cmd = [sys.executable, __file__, "--single", str(n), "--ved-only"]
+            subprocess.run(cmd, timeout=3000)
         return
 
     with_solve = "--solve" in args

@@ -6,6 +6,7 @@ import pytest
 
 from multigridanisotropicdiffusion_tpu.models.ved import (
     VEDConfig,
+    fused_vesselness_tensor,
     generate_diffusion_tensor,
     max_vesselness_over_scales,
     ved,
@@ -103,6 +104,26 @@ def test_tensor_symmetric_positive_definite():
     assert w.min() > 0.005  # >= epsilon-ish
 
 
+def test_fused_pipeline_matches_two_stage():
+    """The memory-lean per-scale tensor selection is algebraically identical
+    to max-over-scales followed by tensor assembly."""
+    vol = make_tube_volume(20, radius=1.5, axis=1)
+    args = dict(scales=(0.775, 1.245, 2.0), spacing=(1.0, 0.8, 1.2))
+    resp, q = max_vesselness_over_scales(
+        jnp.asarray(vol), alpha=0.5, beta=0.5, gamma=5.0, **args
+    )
+    want_t = generate_diffusion_tensor(resp, q, 0.01, 5.0, 10.0)
+    got_resp, got_t = fused_vesselness_tensor(
+        jnp.asarray(vol), alpha=0.5, beta=0.5, gamma=5.0,
+        epsilon=0.01, omega=5.0, sensitivity=10.0, **args
+    )
+    np.testing.assert_allclose(np.asarray(got_resp), np.asarray(resp), rtol=1e-12)
+    for got_p, want_p in zip(got_t, want_t):
+        np.testing.assert_allclose(
+            np.asarray(got_p), np.asarray(want_p), rtol=1e-12, atol=1e-12
+        )
+
+
 def test_ved_end_to_end_tube():
     vol = make_tube_volume(24, radius=1.5, axis=0)
     noisy = vol + np.random.default_rng(3).normal(scale=2.0, size=vol.shape)
@@ -125,6 +146,21 @@ def test_ved_end_to_end_tube():
     bg_in = noisy[4:-4, 1:5, 1:5].std()
     bg_out = out[4:-4, 1:5, 1:5].std()
     assert bg_out < bg_in
+
+
+@pytest.mark.parametrize("cycle", ["fmg", "smoother"])
+def test_ved_cycle_modes(cycle):
+    """The reference's itkVEDTest_GS_FMG / _S variants: the VED pipeline runs
+    with FMG and smoother-only diffusion cycles (test/CMakeLists.txt:37-44)."""
+    vol = make_tube_volume(20, radius=1.5, axis=2)
+    cfg = VEDConfig(
+        iterations=1, diffusion_iterations=2, scales=(1.0, 2.0),
+        time_step=0.1, tolerance=1e-7 if cycle == "fmg" else 1e-3,
+        cycle=cycle,
+    )
+    res = ved(vol, config=cfg)
+    assert np.all(np.isfinite(np.asarray(res.output)))
+    assert np.all(np.asarray(res.diffusion.final_residual) <= cfg.tolerance)
 
 
 def test_ved_rejects_2d():
