@@ -110,6 +110,35 @@ def test_halo_mode_solve_matches_single_device(rng, halo, cycle, smoother):
 
 
 @needs_8_devices
+def test_ved_sharded_matches_single_device():
+    """The full VED pipeline (Hessian, eig, vesselness, tensor, diffusion)
+    distributes over the mesh and matches the single-device result."""
+    from multigridanisotropicdiffusion_tpu.models.ved import VEDConfig, ved
+
+    n = 24
+    coords = np.meshgrid(*[np.arange(n, dtype=float)] * 3, indexing="ij")
+    c = (n - 1) / 2
+    vol = 100.0 * np.exp(
+        -((coords[1] - c) ** 2 + (coords[2] - c) ** 2) / (2 * 1.5**2)
+    )
+    vol += np.random.default_rng(5).normal(scale=1.0, size=vol.shape)
+    cfg = VEDConfig(
+        iterations=1, diffusion_iterations=2, scales=(1.0, 2.0),
+        time_step=0.1, tolerance=1e-8,
+    )
+    ref = ved(vol, config=cfg)
+    mesh = make_grid_mesh(3, mesh_shape=(2, 2, 2))
+    got = ved(vol, config=cfg, mesh=mesh, min_local=4)
+    np.testing.assert_allclose(
+        np.asarray(got.vesselness), np.asarray(ref.vesselness),
+        rtol=1e-10, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.output), np.asarray(ref.output), rtol=1e-10, atol=1e-10
+    )
+
+
+@needs_8_devices
 def test_sharded_output_sharding(rng):
     """The solution comes back sharded over the mesh (no silent gather)."""
     shape = (64, 64)
