@@ -328,22 +328,29 @@ def _run_ved(n: int) -> dict:
 
     u = make_volume(jax.random.PRNGKey(0))
 
+    from multigridanisotropicdiffusion_tpu.models.ved import _auto_z_slab
+
+    z_slab = _auto_z_slab(shape, cfg.pipeline_z_slab)
+    out["ved_pipeline_z_slab"] = z_slab
     pipeline = _compiled_vesselness_pipeline(
         shape, spacing, tuple(cfg.scales), cfg.alpha, cfg.beta, cfg.gamma,
-        cfg.epsilon, cfg.omega, cfg.sensitivity,
+        cfg.epsilon, cfg.omega, cfg.sensitivity, z_slab,
     )
 
-    def run_pipeline():
+    # Timed loops free the previous run's outputs (tensor: 3 GB at 512^3)
+    # BEFORE re-running — two live copies of the pipeline products plus the
+    # run's internals do not fit 16 GB HBM at 512^3.
+    tensor = None
+    times = []
+    for _ in range(3):
+        tensor = None  # free the previous run's buffers
         t0 = time.perf_counter()
         resp, tensor = pipeline(u)
+        resp = None
         float(np.asarray(tensor[0].ravel()[0]))  # force completion
-        return time.perf_counter() - t0, tensor
-
-    t0 = time.perf_counter()
-    _, tensor = run_pipeline()  # compile + first
-    out["ved_pipeline_compile_plus_first_s"] = time.perf_counter() - t0
-    best, tensor = min((run_pipeline() for _ in range(2)), key=lambda t: t[0])
-    out["ved_pipeline_s"] = best
+        times.append(time.perf_counter() - t0)
+    out["ved_pipeline_compile_plus_first_s"] = times[0]
+    out["ved_pipeline_s"] = min(times[1:])
 
     levels = build_level_descriptors(shape, spacing)
     mad_cfg = MADConfig(
@@ -351,33 +358,33 @@ def _run_ved(n: int) -> dict:
         operator_repr="compressed", use_pallas=True,
     )
 
-    def run_setup():
+    builder = _compiled_hierarchy_builder(
+        levels, mad_cfg.time_step, "dca", "compressed"
+    )
+    hier = None
+    times = []
+    for _ in range(3):
+        hier = None
         t0 = time.perf_counter()
-        h = _compiled_hierarchy_builder(
-            levels, mad_cfg.time_step, "dca", "compressed"
-        )(tensor)
-        float(np.asarray(h.operators[0].diag_plane.ravel()[0]))
-        return time.perf_counter() - t0, h
-
-    t0 = time.perf_counter()
-    _, hier = run_setup()
-    out["ved_setup_compile_plus_first_s"] = time.perf_counter() - t0
-    best, hier = min((run_setup() for _ in range(2)), key=lambda t: t[0])
-    out["ved_setup_s"] = best
+        hier = builder(tensor)
+        float(np.asarray(hier.operators[0].diag_plane.ravel()[0]))
+        times.append(time.perf_counter() - t0)
+    out["ved_setup_compile_plus_first_s"] = times[0]
+    out["ved_setup_s"] = min(times[1:])
+    tensor = None  # the solve needs only (hier, u)
 
     solver = _compiled_solver(levels, mad_cfg)
 
-    def run_solve():
+    res = None
+    times = []
+    for _ in range(3):
+        res = None
         t0 = time.perf_counter()
         res = solver(hier, u)
         float(np.asarray(res.output.ravel()[0]))
-        return time.perf_counter() - t0, res
-
-    t0 = time.perf_counter()
-    run_solve()
-    out["ved_solve_compile_plus_first_s"] = time.perf_counter() - t0
-    best, res = min((run_solve() for _ in range(2)), key=lambda t: t[0])
-    out["ved_solve_to_1e-6_s"] = best
+        times.append(time.perf_counter() - t0)
+    out["ved_solve_compile_plus_first_s"] = times[0]
+    out["ved_solve_to_1e-6_s"] = min(times[1:])
     out["ved_solve_cycles"] = int(res.num_cycles[0])
     out["ved_final_relres"] = float(res.final_residual[0])
     out["ved_total_s"] = (

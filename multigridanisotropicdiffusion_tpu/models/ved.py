@@ -37,6 +37,7 @@ from typing import NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.grids import build_level_descriptors
 from ..core.symfield import sym_pairs
@@ -70,6 +71,9 @@ class VEDConfig:
     operator_repr: str = "stored"
     matrix_free: bool = False
     use_pallas: bool = False
+    #: z-slab thickness for the tiled vesselness pipeline; 0 = auto (tile
+    #: large single-device volumes), None = never tile.
+    pipeline_z_slab: int | None = 0
 
     def mad_config(self) -> MADConfig:
         return MADConfig(
@@ -190,6 +194,7 @@ def fused_vesselness_tensor(
     epsilon: float,
     omega: float,
     sensitivity: float,
+    z_slab: int | None = None,
 ):
     """Vesselness response and diffusion tensor in one pass over scales.
 
@@ -198,13 +203,53 @@ def fused_vesselness_tensor(
     scale's (response, frame), so assembling a candidate tensor per scale and
     selecting by response gives the same result — but carries 7 planes of
     running state across scales instead of 10 (response + 6 tensor planes vs
-    response + 9 eigenvector planes), the difference between fitting and
-    OOM-ing a 512^3 volume in 16 GB of HBM.
+    response + 9 eigenvector planes).
+
+    ``z_slab``: process the volume in sequenced slabs of that thickness along
+    axis 0 (``lax.map``), bounding peak HBM to ~O(slab) temporaries instead of
+    O(volume) — XLA otherwise interleaves the scales' conv/eig temporaries and
+    a 512^3 volume wants ~38 GB of HBM.  Slabs see a shared max-radius z-halo
+    (edge-replicated at the domain borders) and every z convolution runs in
+    valid mode, so the result is identical to the untiled path.
     """
+    if z_slab is None or z_slab >= u.shape[0]:
+        return _fused_scales(
+            u, scales, spacing, alpha, beta, gamma, epsilon, omega,
+            sensitivity, None,
+        )
+
+    from jax import lax
+
+    from ..ops.hessian import kernel_radius
+
+    nz = u.shape[0]
+    if nz % z_slab != 0:
+        raise ValueError(f"z_slab {z_slab} must divide the z extent {nz}")
+    radius = max(kernel_radius(float(s), float(spacing[0])) for s in scales)
+    u_pad = jnp.pad(u, ((radius, radius), (0, 0), (0, 0)), mode="edge")
+
+    def body(i):
+        slab = lax.dynamic_slice_in_dim(u_pad, i * z_slab, z_slab + 2 * radius, 0)
+        resp, t = _fused_scales(
+            slab, scales, spacing, alpha, beta, gamma, epsilon, omega,
+            sensitivity, radius,
+        )
+        return (resp, *t)
+
+    outs = lax.map(body, jnp.arange(nz // z_slab))
+    flat = tuple(o.reshape(nz, *u.shape[1:]) for o in outs)
+    return flat[0], flat[1:]
+
+
+def _fused_scales(
+    u, scales, spacing, alpha, beta, gamma, epsilon, omega, sensitivity,
+    z_valid_radius,
+):
     best_resp = None
     best_t = None
     for sigma in scales:
-        h = hessian(u, sigma, spacing, normalize_across_scale=True)
+        h = hessian(u, sigma, spacing, normalize_across_scale=True,
+                    z_valid_radius=z_valid_radius)
         w, q = eigh3(h)
         resp = vesselness_measure(sort_by_abs3(w), alpha, beta, gamma)
         t = generate_diffusion_tensor(resp, q, epsilon, omega, sensitivity)
@@ -231,6 +276,25 @@ class VEDResult(NamedTuple):
     diffusion: MADResult
 
 
+#: volumes above this many voxels get a z-slab-tiled pipeline by default
+#: (untiled, the scales' temporaries want ~300 bytes/voxel of HBM).
+_AUTO_TILE_VOXELS = 32 * 1024 * 1024
+
+
+def _auto_z_slab(shape: Tuple[int, ...], requested: int | None) -> int | None:
+    """Resolve VEDConfig.pipeline_z_slab: 0 = auto, None = never, int = that."""
+    if requested is None:
+        return None
+    if requested:
+        return requested
+    nz = shape[0]
+    if int(np.prod(shape)) <= _AUTO_TILE_VOXELS:
+        return None
+    target = max(16, nz // 8)
+    divisors = [d for d in range(1, nz + 1) if nz % d == 0 and d <= target]
+    return divisors[-1] if divisors else None
+
+
 @functools.lru_cache(maxsize=16)
 def _compiled_vesselness_pipeline(
     shape: Tuple[int, ...],
@@ -242,10 +306,12 @@ def _compiled_vesselness_pipeline(
     epsilon: float,
     omega: float,
     sensitivity: float,
+    z_slab: int | None = None,
 ):
     def pipeline(u):
         return fused_vesselness_tensor(
-            u, scales, spacing, alpha, beta, gamma, epsilon, omega, sensitivity
+            u, scales, spacing, alpha, beta, gamma, epsilon, omega,
+            sensitivity, z_slab,
         )
 
     return jax.jit(pipeline)
@@ -281,6 +347,13 @@ def ved(
         from ..parallel.sharding import shard_field
 
         u = shard_field(u, mesh, min_local)
+    # tiled pipeline only when one device holds the whole volume; a sharded
+    # volume already splits the temporaries across the mesh
+    z_slab = (
+        _auto_z_slab(tuple(u.shape), config.pipeline_z_slab)
+        if mesh is None
+        else (config.pipeline_z_slab or None)
+    )
     pipeline = _compiled_vesselness_pipeline(
         tuple(u.shape),
         spacing,
@@ -291,6 +364,7 @@ def ved(
         config.epsilon,
         config.omega,
         config.sensitivity,
+        z_slab,
     )
     mad_cfg = config.mad_config()
 

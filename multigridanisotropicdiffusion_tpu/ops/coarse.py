@@ -35,5 +35,8 @@ def build_coarse_solver(op: StencilOperator) -> CoarseSolver:
 
 
 def coarse_solve(solver: CoarseSolver, b: jnp.ndarray) -> jnp.ndarray:
-    x = jsl.lu_solve((solver.lu, solver.piv), b.reshape(-1))
-    return x.reshape(b.shape)
+    """Back-substitution; low-precision rhs (mixed-precision defect cycles)
+    are solved in the factorization's precision and cast back."""
+    rhs = b.reshape(-1).astype(solver.lu.dtype)
+    x = jsl.lu_solve((solver.lu, solver.piv), rhs)
+    return x.reshape(b.shape).astype(b.dtype)

@@ -41,8 +41,7 @@ def gaussian_kernels_1d(
     exact derivatives of linears; g2 is zero-mean, odd-moment-free, with
     second moment giving exact second derivatives of quadratics.
     """
-    sigma_pix = sigma / spacing
-    radius = max(2, min(max_radius, int(math.ceil(4.0 * sigma_pix))))
+    radius = kernel_radius(sigma, spacing, max_radius)
     j = np.arange(-radius, radius + 1, dtype=np.float64)
     x = j * spacing
 
@@ -63,17 +62,29 @@ def gaussian_kernels_1d(
     return g, g1, g2
 
 
-def _conv_axis(u: jnp.ndarray, kernel: np.ndarray, axis: int) -> jnp.ndarray:
-    """Correlate ``u`` with a 1-D kernel along ``axis`` with edge-replicate
-    padding (shape-preserving)."""
+def _conv_axis(
+    u: jnp.ndarray, kernel: np.ndarray, axis: int, valid: bool = False
+) -> jnp.ndarray:
+    """Correlate ``u`` with a 1-D kernel along ``axis``.
+
+    ``valid=False``: edge-replicate padding, shape-preserving.
+    ``valid=True``: no padding — the axis shrinks by ``len(kernel) - 1``
+    (used by the z-slab-tiled pipeline, where the halo is already present).
+    """
     radius = (len(kernel) - 1) // 2
-    pad = [(0, 0)] * u.ndim
-    pad[axis] = (radius, radius)
-    up = jnp.pad(u, pad, mode="edge")
-    n = u.shape[axis]
+    if valid:
+        up = u
+        n = u.shape[axis] - 2 * radius
+    else:
+        pad = [(0, 0)] * u.ndim
+        pad[axis] = (radius, radius)
+        up = jnp.pad(u, pad, mode="edge")
+        n = u.shape[axis]
     out = None
     k = jnp.asarray(kernel, u.dtype)
     for j in range(len(kernel)):
+        if kernel[j] == 0.0:  # zero-padded taps (tiled mode) cost nothing
+            continue
         sl = [slice(None)] * u.ndim
         sl[axis] = slice(j, j + n)
         term = k[j] * up[tuple(sl)]
@@ -81,17 +92,30 @@ def _conv_axis(u: jnp.ndarray, kernel: np.ndarray, axis: int) -> jnp.ndarray:
     return out
 
 
+def kernel_radius(sigma: float, spacing: float, max_radius: int = 64) -> int:
+    """Radius of the sampled kernels for (sigma, spacing) — the halo a tiled
+    caller must provide."""
+    return max(2, min(max_radius, int(math.ceil(4.0 * sigma / spacing))))
+
+
 def hessian(
     u: jnp.ndarray,
     sigma: float,
     spacing: Sequence[float] | None = None,
     normalize_across_scale: bool = True,
+    z_valid_radius: int | None = None,
 ):
     """Gaussian-smoothed Hessian field as the canonical symmetric plane tuple
     (core.symfield order: ((0,0), (0,1), ..., upper triangle row-major)).
 
     ``H[i, j] = sigma^2 * d^2/dx_i dx_j (G_sigma * u)`` (physical coordinates;
     the ``sigma^2`` factor only when ``normalize_across_scale``).
+
+    ``z_valid_radius``: when set, the axis-0 convolutions run in *valid* mode
+    with kernels zero-padded to exactly that radius — the caller supplies a
+    ``z_valid_radius``-thick halo on axis 0 and the output is thinner by
+    ``2*z_valid_radius`` (the z-slab-tiled VED pipeline).  Must be >= the
+    kernel radius for (sigma, spacing[0]).
 
     Struct-of-planes output: a stacked ``(..., D, D)`` (or even ``(D, D, ...)``)
     array could be assigned a TPU layout with the size-D axes in the minor
@@ -101,12 +125,24 @@ def hessian(
     if spacing is None:
         spacing = (1.0,) * ndim
     kernels = [gaussian_kernels_1d(float(sigma), float(h)) for h in spacing]
+    if z_valid_radius is not None:
+        r = (len(kernels[0][0]) - 1) // 2
+        if z_valid_radius < r:
+            raise ValueError(
+                f"z_valid_radius {z_valid_radius} < kernel radius {r} "
+                f"for sigma={sigma}, spacing={spacing[0]}"
+            )
+        extra = z_valid_radius - r
+        kernels[0] = tuple(
+            np.pad(k, (extra, extra)) for k in kernels[0]
+        )
 
     # order[d] in {0,1,2}: which derivative order to apply along axis d.
     def separable(orders: Tuple[int, ...]) -> jnp.ndarray:
         out = u
         for d, o in enumerate(orders):
-            out = _conv_axis(out, kernels[d][o], d)
+            out = _conv_axis(out, kernels[d][o], d,
+                             valid=(d == 0 and z_valid_radius is not None))
         return out
 
     norm = float(sigma) ** 2 if normalize_across_scale else 1.0

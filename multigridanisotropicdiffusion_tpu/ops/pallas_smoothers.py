@@ -49,17 +49,25 @@ from .compressed import CompressedDCAOperator
 _MAIN_BLOCK_BUDGET_BYTES = 12 * 1024 * 1024 // (15 * 2)
 
 
+def _sublane_granule(itemsize: int) -> int:
+    """Mosaic's minimum second-to-last block dim: 8 sublanes of 4 bytes —
+    16 rows for 2-byte types (bf16), 8 for 4-byte."""
+    return 16 if itemsize == 2 else 8
+
+
 def pick_y_tile(y: int, x: int, itemsize: int = 4) -> int | None:
     """Largest valid y-tile TY whose (TY, X) block fits the VMEM budget.
 
-    Mosaic constraint: a (1, TY, X) block needs TY % 8 == 0 or TY == Y (the
-    last dim always uses the full X).  Tiled halos additionally need
-    Y % 8 == 0 (8-row halo blocks)."""
+    Mosaic constraint: a (1, TY, X) block needs TY % granule == 0 or TY == Y
+    (the last dim always uses the full X; granule = 8 rows for 4-byte types,
+    16 for bf16).  Tiled halos additionally need Y % granule == 0
+    (granule-row halo blocks)."""
+    g = _sublane_granule(itemsize)
     best = None
     for ty in range(1, y + 1):
         if y % ty != 0 or ty * x * itemsize > _MAIN_BLOCK_BUDGET_BYTES:
             continue
-        if ty == y or (ty % 8 == 0 and y % 8 == 0):
+        if ty == y or (ty % g == 0 and y % g == 0):
             best = ty
     return best
 
@@ -103,10 +111,15 @@ def _stencil_kernel(
     k = pl.program_id(0)
     j = pl.program_id(1)
 
+    # Low-precision (bf16) blocks are upcast at load and downcast at store:
+    # the contraction and division always run in f32 on the VPU.
+    def up(a):
+        return a.astype(jnp.float32) if a.dtype == jnp.bfloat16 else a
+
     coeff_refs = refs[:10]
     if full_plane:
         xzm, xc, xzp, b, out = refs[10:]
-        planes = {-1: xzm[...], 0: xc[...], 1: xzp[...]}
+        planes = {-1: up(xzm[...]), 0: up(xc[...]), 1: up(xzp[...])}
 
         def sh(zpos, dy, dx):
             return _roll(_roll(planes[zpos], dy, 1), dx, 2)
@@ -116,14 +129,14 @@ def _stencil_kernel(
         (xzm, xzm_t, xzm_b, xc, xc_t, xc_b, xzp, xzp_t, xzp_b, b, out) = refs[10:]
 
         if aligned:
-            # 8-row halo blocks: the top block's LAST row is global row
+            # granule-row halo blocks: the top block's LAST row is global row
             # j*ty - 1, the bottom block's FIRST row is (j+1)*ty.  At domain
             # borders the blocks are index-clamped and carry garbage, which
             # every use multiplies by an exactly-zero folded coefficient.
             top_row = lambda t: t[:, hh - 1 : hh, :]
             bot_row = lambda t: t[:, 0:1, :]
         else:
-            # full-axis halo blocks (y not 8-aligned, interpret/fallback
+            # full-axis halo blocks (y not granule-aligned, interpret/fallback
             # path): pick the exact global rows dynamically
             top_row = lambda t: jax.lax.dynamic_slice_in_dim(
                 t[...], jnp.maximum(j * ty - 1, 0), 1, axis=1
@@ -134,7 +147,9 @@ def _stencil_kernel(
 
         def padded(main, top, bot):
             # (1, TY + 2, X): y-halo rows stitched around the main block
-            return jnp.concatenate([top_row(top), main[...], bot_row(bot)], axis=1)
+            return up(
+                jnp.concatenate([top_row(top), main[...], bot_row(bot)], axis=1)
+            )
 
         planes = {
             -1: padded(xzm, xzm_t, xzm_b),
@@ -147,24 +162,24 @@ def _stencil_kernel(
 
         xc_blk = planes[0][:, 1 : 1 + ty, :]
 
-    coeffs = tuple(r[...] for r in coeff_refs[:9])
+    coeffs = tuple(up(r[...]) for r in coeff_refs[:9])
+    diag = up(coeff_refs[9][...])
+    b_val = up(b[...])
     off = _offdiag_contraction(coeffs, sh)
-    emit(off, xc_blk, coeff_refs, b, out, k, j)
+    emit(off, xc_blk, diag, b_val, out, k, j)
 
 
-def _emit_halfsweep(color: int, ty: int, off, xc_blk, coeff_refs, b, out, k, j):
-    diag = coeff_refs[9]
-    upd = (b[...] - off) / diag[...]
+def _emit_halfsweep(color: int, ty: int, off, xc_blk, diag, b_val, out, k, j):
+    upd = (b_val - off) / diag
     shp = xc_blk.shape
     row = jax.lax.broadcasted_iota(jnp.int32, shp, 1) + j * ty
     col = jax.lax.broadcasted_iota(jnp.int32, shp, 2)
     parity = (row + col + k) % 2
-    out[...] = jnp.where(parity == color, upd, xc_blk)
+    out[...] = jnp.where(parity == color, upd, xc_blk).astype(out.dtype)
 
 
-def _emit_residual(off, xc_blk, coeff_refs, b, out, k, j):
-    diag = coeff_refs[9]
-    out[...] = b[...] - diag[...] * xc_blk - off
+def _emit_residual(off, xc_blk, diag, b_val, out, k, j):
+    out[...] = (b_val - diag * xc_blk - off).astype(out.dtype)
 
 
 @functools.lru_cache(maxsize=64)
@@ -178,10 +193,12 @@ def _build_stencil_pass(shape: Tuple[int, ...], dtype_name: str, kind: str,
     ny = y // ty
     main = (1, ty, x)
     full_plane = ty == y
-    # Halo block height: 8-row blocks when the grid is 8-aligned (Mosaic's
-    # minimum for a non-full second-to-last dim), else the full axis.
-    aligned = ty % 8 == 0 and y % 8 == 0
-    hh = 8 if aligned else y
+    # Halo block height: granule-row blocks when the grid is aligned (Mosaic's
+    # minimum non-full second-to-last dim: 8 rows f32, 16 rows bf16), else the
+    # full axis.
+    g = _sublane_granule(dtype.itemsize)
+    aligned = ty % g == 0 and y % g == 0
+    hh = g if aligned else y
     halo = (1, hh, x)
     nh = ty // hh if aligned else 0  # halo blocks per tile (8-aligned case)
 

@@ -136,3 +136,62 @@ def test_hierarchy_reuse(rng):
     np.testing.assert_allclose(
         np.asarray(r1.output), np.asarray(r2.output), rtol=1e-12
     )
+
+
+@pytest.mark.parametrize("cycle", [VCYCLE, FMG, SMOOTHER])
+def test_defect_correction_same_precision_matches_plain(rng, cycle):
+    """With defect_dtype == solve dtype, x + V(0, b - A x) is the same linear
+    iteration as V(x, b): same cycle counts, same solutions."""
+    shape = (24, 20, 16)
+    tensor = make_spd_tensor_field(rng, shape, 3, hi=3.0)
+    image = rng.normal(size=shape) * 10.0
+    tol = 1e-9 if cycle != SMOOTHER else 1e-3
+    plain = mad_diffusion(
+        image, tensor,
+        config=MADConfig(time_step=0.1, tolerance=tol, max_cycles=200, cycle=cycle),
+    )
+    defect = mad_diffusion(
+        image, tensor,
+        config=MADConfig(time_step=0.1, tolerance=tol, max_cycles=200,
+                         cycle=cycle, defect_dtype="float64"),
+    )
+    assert int(defect.num_cycles[0]) == int(plain.num_cycles[0])
+    np.testing.assert_allclose(
+        np.asarray(defect.output), np.asarray(plain.output),
+        rtol=1e-9, atol=1e-9,
+    )
+
+
+@pytest.mark.parametrize("lo,tol", [("float32", 1e-10), ("bfloat16", 1e-6)])
+def test_defect_correction_low_precision_converges(rng, lo, tol):
+    """Inner cycles in low precision still converge to the full-precision
+    tolerance (the outer residual uses the exact operator), and the answer
+    matches the dense direct solve."""
+    shape = (17, 16)
+    tensor = make_spd_tensor_field(rng, shape, 2, hi=3.0)
+    image = rng.normal(size=shape) * 10.0
+    cfg = MADConfig(
+        time_step=0.1, tolerance=tol, max_cycles=100, defect_dtype=lo
+    )
+    res = mad_diffusion(image, tensor, config=cfg)
+    assert float(res.final_residual[0]) <= tol
+    assert int(res.num_cycles[0]) < 100
+    want = _dense_solution(tensor, (1.0, 1.0), 0.1, jnp.asarray(image))
+    np.testing.assert_allclose(
+        np.asarray(res.output), want, rtol=10 * tol, atol=10 * tol * 10.0
+    )
+
+
+def test_defect_correction_bf16_pallas_compressed(rng):
+    """The bf16 defect path through the compressed operator + Pallas kernels
+    (interpreter mode on CPU)."""
+    shape = (16, 16, 16)
+    tensor = make_spd_tensor_field(rng, shape, 3, hi=2.0)
+    image = rng.normal(size=shape) * 10.0
+    cfg = MADConfig(
+        time_step=0.1, tolerance=1e-5, max_cycles=60,
+        operator_repr="compressed", use_pallas=True, defect_dtype="bfloat16",
+    )
+    res = mad_diffusion(image, tensor, config=cfg)
+    assert float(res.final_residual[0]) <= 1e-5
+    assert int(res.num_cycles[0]) < 60

@@ -91,3 +91,26 @@ def test_pallas_rejects_2d(rng):
     comp = assemble_compressed_dca(as_sym_planes(tensor, shape), (1.0, 1.0), 0.1)
     with pytest.raises(ValueError):
         pallas_rbgs_sweep(comp, jnp.zeros(shape), jnp.zeros(shape), interpret=True)
+
+
+def test_pallas_bf16_blocks(rng):
+    """bf16 coefficient/field blocks: loads upcast to f32 in-kernel, stores
+    downcast — agreement with the XLA sweep on the same bf16 data, including
+    the 16-row-granule y-tiled halo path."""
+    shape = (4, 32, 16)
+    tensor = make_spd_tensor_field(rng, shape, 3, hi=2.0)
+    comp = assemble_compressed_dca(as_sym_planes(tensor, shape), (1.0,) * 3, 0.1)
+    import jax
+
+    comp16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), comp)
+    x = jnp.asarray(rng.normal(size=shape)).astype(jnp.bfloat16)
+    b = jnp.asarray(rng.normal(size=shape)).astype(jnp.bfloat16)
+    want = np.asarray(
+        rb_gauss_seidel_sweep(comp16, x, b).astype(jnp.float32)
+    )
+    for ty in (16, 32):  # 16 = granule-aligned halo path, 32 = full plane
+        got = np.asarray(
+            pallas_rbgs_sweep(comp16, x, b, interpret=True, ty=ty).astype(jnp.float32)
+        )
+        # in-kernel f32 compute vs XLA bf16 compute: bf16-rounding tolerance
+        np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05, err_msg=f"ty={ty}")

@@ -124,6 +124,27 @@ def test_fused_pipeline_matches_two_stage():
         )
 
 
+def test_tiled_pipeline_matches_untiled():
+    """z-slab tiling (valid-mode z convs over a shared max-radius halo) is
+    exact: identical results to the whole-volume pipeline."""
+    vol = make_tube_volume(24, radius=1.5, axis=0)
+    vol += np.random.default_rng(7).normal(scale=1.0, size=vol.shape)
+    kw = dict(
+        scales=(0.775, 1.245, 2.0), spacing=(0.9, 1.0, 1.1),
+        alpha=0.5, beta=0.5, gamma=5.0, epsilon=0.01, omega=5.0,
+        sensitivity=10.0,
+    )
+    want_resp, want_t = fused_vesselness_tensor(jnp.asarray(vol), **kw)
+    got_resp, got_t = fused_vesselness_tensor(jnp.asarray(vol), z_slab=6, **kw)
+    np.testing.assert_allclose(
+        np.asarray(got_resp), np.asarray(want_resp), rtol=1e-11, atol=1e-14
+    )
+    for got_p, want_p in zip(got_t, want_t):
+        np.testing.assert_allclose(
+            np.asarray(got_p), np.asarray(want_p), rtol=1e-11, atol=1e-13
+        )
+
+
 def test_ved_end_to_end_tube():
     vol = make_tube_volume(24, radius=1.5, axis=0)
     noisy = vol + np.random.default_rng(3).normal(scale=2.0, size=vol.shape)
