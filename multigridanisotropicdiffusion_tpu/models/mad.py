@@ -116,6 +116,17 @@ class MADConfig:
     def effective_operator_repr(self) -> str:
         return "matrix_free" if self.matrix_free else self.operator_repr
 
+    @classmethod
+    def tpu(cls, mixed_precision: bool = True, **kw) -> "MADConfig":
+        """The single-chip TPU fast path: compressed operator + fused Pallas
+        sweeps (+ bf16 inner defect cycles unless ``mixed_precision=False``).
+        Keyword overrides pass through to the constructor."""
+        kw.setdefault("operator_repr", "compressed")
+        kw.setdefault("use_pallas", True)
+        if mixed_precision:
+            kw.setdefault("defect_dtype", "bfloat16")
+        return cls(**kw)
+
 
 class Hierarchy(NamedTuple):
     """Device-resident multigrid setup products: one stencil operator per

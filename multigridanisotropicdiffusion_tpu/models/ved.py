@@ -74,6 +74,19 @@ class VEDConfig:
     #: z-slab thickness for the tiled vesselness pipeline; 0 = auto (tile
     #: large single-device volumes), None = never tile.
     pipeline_z_slab: int | None = 0
+    #: MAD passthroughs: distribution strategy and mixed-precision defect
+    #: cycles (see MADConfig.halo / MADConfig.defect_dtype).
+    halo: str = "gspmd"
+    defect_dtype: str | None = None
+
+    @classmethod
+    def tpu(cls, mixed_precision: bool = True, **kw) -> "VEDConfig":
+        """The single-chip TPU fast path (see :meth:`MADConfig.tpu`)."""
+        kw.setdefault("operator_repr", "compressed")
+        kw.setdefault("use_pallas", True)
+        if mixed_precision:
+            kw.setdefault("defect_dtype", "bfloat16")
+        return cls(**kw)
 
     def mad_config(self) -> MADConfig:
         return MADConfig(
@@ -88,6 +101,8 @@ class VEDConfig:
             operator_repr=self.operator_repr,
             matrix_free=self.matrix_free,
             use_pallas=self.use_pallas,
+            halo=self.halo,
+            defect_dtype=self.defect_dtype,
         )
 
 
