@@ -104,6 +104,7 @@ def hessian(
     spacing: Sequence[float] | None = None,
     normalize_across_scale: bool = True,
     z_valid_radius: int | None = None,
+    mode: str = "gaussian_derivative",
 ):
     """Gaussian-smoothed Hessian field as the canonical symmetric plane tuple
     (core.symfield order: ((0,0), (0,1), ..., upper triangle row-major)).
@@ -115,7 +116,19 @@ def hessian(
     with kernels zero-padded to exactly that radius — the caller supplies a
     ``z_valid_radius``-thick halo on axis 0 and the output is thinner by
     ``2*z_valid_radius`` (the z-slab-tiled VED pipeline).  Must be >= the
-    kernel radius for (sigma, spacing[0]).
+    kernel radius for (sigma, spacing[0]) — plus 1 in ``smooth_fd`` mode.
+
+    ``mode``:
+      * ``'gaussian_derivative'`` (default) — exact sampled
+        Gaussian-derivative kernels per component: D(D+1)/2 separable
+        convolutions (15 1-D passes in 3D after prefix sharing).
+      * ``'smooth_fd'`` — smooth once with the Gaussian (D 1-D passes), then
+        take 2nd-order central finite differences of the smoothed field (a
+        fused 3/4-point stencil pass).  ~3x fewer long-kernel passes; exact
+        on quadratics like the default (moment-corrected smoothing + exact-
+        on-quadratics central differences), and within the discretization
+        error of the default elsewhere — the same accuracy class as ITK's
+        recursive-IIR approximation the reference wraps.
 
     Struct-of-planes output: a stacked ``(..., D, D)`` (or even ``(D, D, ...)``)
     array could be assigned a TPU layout with the size-D axes in the minor
@@ -124,6 +137,12 @@ def hessian(
     ndim = u.ndim
     if spacing is None:
         spacing = (1.0,) * ndim
+    if mode == "smooth_fd":
+        return _hessian_smooth_fd(
+            u, sigma, spacing, normalize_across_scale, z_valid_radius
+        )
+    if mode != "gaussian_derivative":
+        raise ValueError(f"unknown hessian mode: {mode!r}")
     kernels = [gaussian_kernels_1d(float(sigma), float(h)) for h in spacing]
     if z_valid_radius is not None:
         r = (len(kernels[0][0]) - 1) // 2
@@ -156,4 +175,96 @@ def hessian(
             orders[i] = 1
             orders[j] = 1
         planes.append(separable(tuple(orders)) * norm)
+    return tuple(planes)
+
+
+def _hessian_smooth_fd(
+    u: jnp.ndarray,
+    sigma: float,
+    spacing: Sequence[float],
+    normalize_across_scale: bool,
+    z_valid_radius: int | None,
+):
+    """smooth-then-finite-difference Hessian (see :func:`hessian` mode docs)."""
+    ndim = u.ndim
+    if z_valid_radius is None:
+        # Self-pad and run the valid-z path, so the untiled and z-slab-tiled
+        # pipelines agree bitwise at the global z borders (the halo is the
+        # edge-replicated *input*, smoothed — not the smoothed field,
+        # replicated).
+        r = kernel_radius(float(sigma), float(spacing[0]))
+        z_valid_radius = r + 1
+        pad = [(0, 0)] * ndim
+        pad[0] = (z_valid_radius, z_valid_radius)
+        u = jnp.pad(u, pad, mode="edge")
+    valid_z = True
+
+    # 1) Gaussian smoothing, one 1-D pass per axis.  In valid-z mode the
+    # smoothing consumes z_valid_radius - 1 of the halo, leaving the 1-thick
+    # shell the finite differences need.
+    us = u
+    for d in range(ndim):
+        g = gaussian_kernels_1d(float(sigma), float(spacing[d]))[0]
+        if d == 0 and valid_z:
+            r = (len(g) - 1) // 2
+            if z_valid_radius < r + 1:
+                raise ValueError(
+                    f"z_valid_radius {z_valid_radius} < kernel radius + 1 = "
+                    f"{r + 1} for sigma={sigma}, spacing={spacing[0]} "
+                    "(smooth_fd mode needs one extra halo plane)"
+                )
+            extra = (z_valid_radius - 1) - r
+            g = np.pad(g, (extra, extra))
+            us = _conv_axis(us, g, 0, valid=True)
+        else:
+            us = _conv_axis(us, g, d)
+
+    # 2) one fused central-difference stencil pass over the smoothed field.
+    # Axis 0 in valid-z mode already carries its 1-thick halo; other axes get
+    # edge-replicate halos (≅ the default mode's edge-replicated convs).
+    pad = [(1, 1)] * ndim
+    if valid_z:
+        pad[0] = (0, 0)
+    up = jnp.pad(us, pad, mode="edge")
+    out_shape = tuple(
+        (us.shape[d] - 2) if (d == 0 and valid_z) else us.shape[d]
+        for d in range(ndim)
+    )
+
+    def sh(off):
+        sl = tuple(
+            slice(1 + o, 1 + o + s) for o, s in zip(off, out_shape)
+        )
+        return up[sl]
+
+    zero = (0,) * ndim
+
+    def unit(d, s=1):
+        e = [0] * ndim
+        e[d] = s
+        return tuple(e)
+
+    def add(a, b):
+        return tuple(x + y for x, y in zip(a, b))
+
+    norm = float(sigma) ** 2 if normalize_across_scale else 1.0
+    center = sh(zero)
+    planes = []
+    for i, j in sym_pairs(ndim):
+        if i == j:
+            hi2 = float(spacing[i]) ** 2
+            planes.append(
+                (sh(unit(i)) - 2.0 * center + sh(unit(i, -1))) * (norm / hi2)
+            )
+        else:
+            hij4 = 4.0 * float(spacing[i]) * float(spacing[j])
+            planes.append(
+                (
+                    sh(add(unit(i), unit(j)))
+                    - sh(add(unit(i), unit(j, -1)))
+                    - sh(add(unit(i, -1), unit(j)))
+                    + sh(add(unit(i, -1), unit(j, -1)))
+                )
+                * (norm / hij4)
+            )
     return tuple(planes)

@@ -67,3 +67,65 @@ def test_hessian_3d_symmetric():
     assert len(h) == 6  # upper triangle of a 3x3 symmetric matrix
     for plane in h:
         assert plane.shape == (16, 17, 18)
+
+
+def test_smooth_fd_exact_on_quadratics():
+    """smooth_fd mode shares the exactness-on-quadratics property: moment-
+    corrected smoothing preserves quadratics up to a constant shift, and
+    central differences are exact on quadratics."""
+    n = 48
+    y, x = np.meshgrid(np.arange(n, dtype=float), np.arange(n, dtype=float), indexing="ij")
+    u = 3.0 * y * y + 2.0 * x * y - 1.5 * x * x + 4 * x - 7 * y + 2
+    h = hessian(jnp.asarray(u), sigma=2.0, spacing=(1.0, 1.0),
+                normalize_across_scale=False, mode="smooth_fd")
+    r = 10
+    sl = (slice(r, -r), slice(r, -r))
+    np.testing.assert_allclose(_h(h, 2, 0, 0)[sl], 6.0, atol=1e-8)
+    np.testing.assert_allclose(_h(h, 2, 0, 1)[sl], 2.0, atol=1e-8)
+    np.testing.assert_allclose(_h(h, 2, 1, 1)[sl], -3.0, atol=1e-8)
+
+
+def test_smooth_fd_close_to_gaussian_derivative():
+    """On a smooth field the two modes agree to FD discretization error."""
+    n = 32
+    rng = np.random.default_rng(11)
+    coords = np.meshgrid(*[np.arange(n, dtype=float)] * 3, indexing="ij")
+    u = 50.0 * np.exp(
+        -((coords[0] - 16) ** 2 + (coords[1] - 14) ** 2 + (coords[2] - 18) ** 2)
+        / (2 * 6.0**2)
+    )
+    want = hessian(jnp.asarray(u), 2.0, (1.0, 1.0, 1.0))
+    got = hessian(jnp.asarray(u), 2.0, (1.0, 1.0, 1.0), mode="smooth_fd")
+    scale = max(np.abs(np.asarray(p)).max() for p in want)
+    # the two modes' (equally arbitrary) edge-replicate treatments differ in
+    # a ~2-voxel border band; compare the interior
+    sl = (slice(2, -2),) * 3
+    for i, (g, w) in enumerate(zip(got, want)):
+        err = np.abs(np.asarray(g) - np.asarray(w))[sl].max() / scale
+        assert err < 0.02, (i, err)
+
+
+def test_smooth_fd_tiled_matches_untiled():
+    """smooth_fd through the z-slab-tiled pipeline (halo = kernel radius + 1)."""
+    from multigridanisotropicdiffusion_tpu.models.ved import fused_vesselness_tensor
+
+    n = 24
+    rng = np.random.default_rng(3)
+    coords = np.meshgrid(*[np.arange(n, dtype=float)] * 3, indexing="ij")
+    vol = 100.0 * np.exp(
+        -((coords[1] - 11.5) ** 2 + (coords[2] - 11.5) ** 2) / (2 * 1.5**2)
+    ) + rng.normal(scale=1.0, size=(n, n, n))
+    kw = dict(
+        scales=(0.775, 1.245, 2.0), spacing=(1.0, 1.0, 1.0),
+        alpha=0.5, beta=0.5, gamma=5.0, epsilon=0.01, omega=5.0,
+        sensitivity=10.0, hessian_mode="smooth_fd",
+    )
+    want_resp, want_t = fused_vesselness_tensor(jnp.asarray(vol), **kw)
+    got_resp, got_t = fused_vesselness_tensor(jnp.asarray(vol), z_slab=8, **kw)
+    np.testing.assert_allclose(
+        np.asarray(got_resp), np.asarray(want_resp), rtol=1e-11, atol=1e-14
+    )
+    for got_p, want_p in zip(got_t, want_t):
+        np.testing.assert_allclose(
+            np.asarray(got_p), np.asarray(want_p), rtol=1e-11, atol=1e-13
+        )
