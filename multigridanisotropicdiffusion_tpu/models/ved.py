@@ -220,10 +220,13 @@ def fused_vesselness_tensor(
 
     Algebraically identical to ``max_vesselness_over_scales`` followed by
     ``generate_diffusion_tensor`` — the tensor depends only on the winning
-    scale's (response, frame), so assembling a candidate tensor per scale and
-    selecting by response gives the same result — but carries 7 planes of
-    running state across scales instead of 10 (response + 6 tensor planes vs
-    response + 9 eigenvector planes).
+    scale's (response, Hessian), so the scale loop needs *eigenvalues only*
+    (the response) and carries the running-best Hessian planes; one final
+    eigendecomposition of the selected Hessian recovers the winning frame.
+    This defers the expensive eigenvector computation and tensor assembly
+    from once-per-scale to once total (~5x less eigenvector work at the
+    default 5 scales) while carrying the same 7 planes of running state
+    (response + 6 Hessian planes).
 
     ``z_slab``: process the volume in sequenced slabs of that thickness along
     axis 0 (``lax.map``), bounding peak HBM to ~O(slab) temporaries instead of
@@ -268,22 +271,25 @@ def _fused_scales(
     z_valid_radius, hessian_mode="gaussian_derivative",
 ):
     best_resp = None
-    best_t = None
+    best_h = None
     for sigma in scales:
         h = hessian(u, sigma, spacing, normalize_across_scale=True,
                     z_valid_radius=z_valid_radius, mode=hessian_mode)
-        w, q = eigh3(h)
+        w, _ = eigh3(h, compute_vectors=False)
         resp = vesselness_measure(sort_by_abs3(w), alpha, beta, gamma)
-        t = generate_diffusion_tensor(resp, q, epsilon, omega, sensitivity)
         if best_resp is None:
             # first scale always initializes the running maximum (.hxx:272)
-            best_resp, best_t = resp, t
+            best_resp, best_h = resp, h
         else:
             better = resp > best_resp
             best_resp = jnp.where(better, resp, best_resp)
-            best_t = tuple(
-                jnp.where(better, tn, to) for tn, to in zip(t, best_t)
+            best_h = tuple(
+                jnp.where(better, hn, ho) for hn, ho in zip(h, best_h)
             )
+    # Eigenvectors + tensor once, on the per-voxel winning Hessian: eigh3 is
+    # elementwise, so eigh3(select(h)) == select(eigh3(h)) bitwise.
+    _, q = eigh3(best_h)
+    best_t = generate_diffusion_tensor(best_resp, q, epsilon, omega, sensitivity)
     return best_resp, best_t
 
 
