@@ -1,7 +1,12 @@
 """Benchmark driver: prints ONE JSON line for the round harness.
 
-Headline metric (BASELINE.json): red-black Gauss-Seidel smoother throughput in
-voxel-updates/s/chip on a 3D 19-point-stencil operator.
+Headline metric (BASELINE.json north star): the full 512^3 VED workload
+(vesselness pipeline + hierarchy setup + implicit diffusion solve to a 1e-6
+relative residual) in seconds on one chip; ``vs_baseline`` = 1.0 s target /
+measured (>1 = beating the 8-chip target on one chip).  The red-black
+Gauss-Seidel smoother throughput study (voxel-updates/s/chip on a 3D
+19-point-stencil operator, below) rides along in ``extra`` and becomes the
+headline if the VED run fails.
 
 ``vs_baseline`` is the fraction of the HBM-bandwidth speed-of-light for the
 sweep on this chip: one RBGS sweep = two half-sweeps, each streaming the 19
@@ -480,6 +485,12 @@ def _run_ved(n: int) -> dict:
         out["ved_pipeline_s"] + out["ved_setup_s"]
         + min(out["ved_solve_to_1e-6_s"], out["ved_solve_bf16_to_1e-6_s"])
     )
+    # best supported configuration (smooth_fd Hessian + bf16 defect cycles)
+    out["ved_total_best_s"] = (
+        min(out["ved_pipeline_s"], out["ved_pipeline_fd_s"])
+        + out["ved_setup_s"]
+        + min(out["ved_solve_to_1e-6_s"], out["ved_solve_bf16_to_1e-6_s"])
+    )
     return out
 
 
@@ -509,25 +520,64 @@ def main():
     sizes = [int(s) for s in args if s.isdigit()] or [256, 128]
     import tempfile
 
+    def run_sub(cmd, timeout):
+        """Run a bench subprocess, return its first JSON line (or None).
+
+        Output goes to a temp FILE: backend helper processes can inherit a
+        stdout pipe and keep it open past child exit, deadlocking a
+        pipe-based capture."""
+        with tempfile.NamedTemporaryFile("w+", suffix=".log", delete=False) as f:
+            log_path = f.name
+        try:
+            with open(log_path, "w") as f:
+                subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT,
+                               timeout=timeout)
+        except subprocess.TimeoutExpired:
+            return None, ""
+        out = open(log_path).read()
+        for line in out.splitlines():
+            if line.startswith("{") and ('"metric"' in line or '"ved_only"' in line):
+                return json.loads(line), out
+        return None, out
+
+    smoother = None
     last = None
     for n in sizes:
         cmd = [sys.executable, __file__, "--single", str(n)]
         if with_solve:
             cmd.append("--solve")
-        # Write subprocess output to a temp FILE: backend helper processes can
-        # inherit a stdout pipe and keep it open past child exit, deadlocking
-        # a pipe-based capture.
-        with tempfile.NamedTemporaryFile("w+", suffix=".log", delete=False) as f:
-            log_path = f.name
-        with open(log_path, "w") as f:
-            subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT, timeout=3000)
-        out = open(log_path).read()
-        for line in out.splitlines():
-            if line.startswith("{") and '"metric"' in line:
-                print(line)
-                return
+        smoother, out = run_sub(cmd, 3000)
+        if smoother is not None:
+            break
         last = out[-2000:]
-    raise SystemExit(f"bench failed at all sizes; last output:\n{last}")
+    if smoother is None:
+        raise SystemExit(f"bench failed at all sizes; last output:\n{last}")
+
+    # Headline = the BASELINE.json north star: full 512^3 VED workload
+    # (vesselness pipeline + hierarchy setup + diffusion solve to 1e-6) on one
+    # chip; target is <1 s on EIGHT chips (v5e-8), so vs_baseline =
+    # target_s / measured_s (>1 = beating the 8-chip target on one chip).
+    # Falls back to the smoother-throughput headline if the VED run fails
+    # (e.g. cold-compile timeout through the remote tunnel).
+    ved, _ = run_sub(
+        [sys.executable, __file__, "--single", "512", "--ved-only"], 1800
+    )
+    if ved is not None and "ved_total_best_s" in ved:
+        total = ved["ved_total_best_s"]
+        print(json.dumps({
+            "metric": "ved_512^3_solve_to_1e-6_total_s_one_chip",
+            "value": total,
+            "unit": "s",
+            "vs_baseline": 1.0 / total,
+            "extra": {
+                "north_star": "BASELINE.json: 512^3 VED to 1e-6 in <1 s on "
+                              "v5e-8; this measurement uses ONE chip",
+                "ved": ved,
+                "smoother": smoother,
+            },
+        }))
+        return
+    print(json.dumps(smoother))
 
 
 if __name__ == "__main__":
