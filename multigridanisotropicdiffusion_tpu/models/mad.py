@@ -91,6 +91,14 @@ class MADConfig:
     #: shard_map/overlap require operator_repr='stored' and a GS/Jacobi
     #: smoother.
     halo: str = "gspmd"
+    #: print the per-cycle relative-residual trace to stdout (reference
+    #: SetVerbose, itkMultigridAnisotropicDiffusionImageFilter.h:154-158).
+    #: Pure logging — never changes the computation: the production solver
+    #: records one residual per outer cycle (already returned in
+    #: ``MADResult.residual_history``) and prints it host-side after each
+    #: step.  The reference's full per-level/per-iteration trace is the
+    #: eager :func:`..models.trace.mad_diffusion_verbose` path.
+    verbose: bool = False
     #: mixed-precision defect correction: when set (e.g. 'bfloat16'), each
     #: outer cycle computes the residual in the solve dtype against the exact
     #: operator and runs the entire inner V-cycle/FMG/smoother on the defect
@@ -569,5 +577,37 @@ def mad_diffusion(
         hierarchy = shard_hierarchy(hierarchy, levels, mesh, min_local)
         b = shard_field(b, mesh, min_local)
 
-    solver = _compiled_solver(levels, config, mesh, min_local)
-    return solver(hierarchy, b)
+    # verbose is host-side logging only — strip it so the compiled-solver
+    # cache doesn't hold two copies of an identical program
+    solver = _compiled_solver(
+        levels, dataclasses.replace(config, verbose=False), mesh, min_local
+    )
+    result = solver(hierarchy, b)
+    if config.verbose:
+        print_residual_trace(result, config)
+    return result
+
+
+def print_residual_trace(result: MADResult, config: MADConfig,
+                         print_fn=print) -> None:
+    """Host-side per-cycle residual trace (the ``verbose`` output).
+
+    Prints one line per outer cycle per time step from the already-recorded
+    ``MADResult.residual_history`` — the TPU-native counterpart of the
+    reference's m_Verbose stdout reporting (.hxx:363-369, 441-448); the
+    per-level/per-iteration detail lives in models.trace."""
+    label = {VCYCLE: "VCycle", FMG: "VCycle", SMOOTHER: "Smoother iteration"}[
+        config.cycle
+    ]
+    hist = jax.device_get(result.residual_history)
+    counts = jax.device_get(result.num_cycles)
+    for step in range(hist.shape[0]):
+        if hist.shape[0] > 1:
+            print_fn(
+                f"------------ Time step n. {step + 1} / {hist.shape[0]} "
+                "------------"
+            )
+        for k in range(int(counts[step])):
+            print_fn(
+                f"{label} n. {k + 1}: relative residual = {hist[step, k]}"
+            )

@@ -58,11 +58,15 @@ def mad_diffusion_verbose(
     tensor = as_sym_planes(tensor, shape)
     levels = build_level_descriptors(shape, spacing)
     coarsest = len(levels) - 1
+    # same representation/kernel choices as the production solver, so the
+    # verbose path traces the configuration the user actually runs
     hier = build_hierarchy(
         tuple(jnp.asarray(p, dtype) for p in tensor), levels, config.time_step,
-        config.coarse_operator,
+        config.coarse_operator, config.effective_operator_repr,
     )
-    smooth = make_smoother(config.smoother, config.jacobi_weight)
+    smooth = make_smoother(
+        config.smoother, config.jacobi_weight, use_pallas=config.use_pallas
+    )
 
     lines = []
 

@@ -195,3 +195,23 @@ def test_defect_correction_bf16_pallas_compressed(rng):
     res = mad_diffusion(image, tensor, config=cfg)
     assert float(res.final_residual[0]) <= 1e-5
     assert int(res.num_cycles[0]) < 60
+
+
+def test_verbose_prints_residual_trace(rng, capsys):
+    """MADConfig.verbose prints the per-cycle residual trace without changing
+    the computation (reference SetVerbose semantics, .h:154-158)."""
+    shape = (17, 16)
+    tensor = make_spd_tensor_field(rng, shape, 2, hi=3.0)
+    image = rng.normal(size=shape) * 10.0
+    cfg = MADConfig(time_step=0.1, tolerance=1e-8, verbose=True)
+    res = mad_diffusion(image, tensor, config=cfg)
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if "relative residual" in l]
+    assert len(lines) == int(res.num_cycles[0])
+    assert f"= {float(res.residual_history[0, 0])}" in lines[0]
+
+    quiet = mad_diffusion(
+        image, tensor, config=MADConfig(time_step=0.1, tolerance=1e-8)
+    )
+    assert capsys.readouterr().out == ""
+    np.testing.assert_array_equal(np.asarray(res.output), np.asarray(quiet.output))
