@@ -77,8 +77,10 @@ class MADConfig:
     #: deprecated alias for operator_repr='matrix_free'.
     matrix_free: bool = False
     #: route 3D compressed-operator Gauss-Seidel sweeps through the fused
-    #: Pallas TPU kernel (~2.3x the XLA sweep); single-device only — ignored
-    #: when a mesh is given.
+    #: Pallas TPU kernel (~2.3x the XLA sweep).  With a mesh, applies on the
+    #: halo='shard_map'/'overlap' path (per-block kernels inside shard_map,
+    #: overlapped with the ppermute exchange); ignored under halo='gspmd'
+    #: (the compiler-partitioned path cannot host hand-written kernels).
     use_pallas: bool = False
     #: distribution strategy when a mesh is given (ignored otherwise):
     #:   'gspmd'     — global-view ops + sharding constraints; XLA's SPMD
@@ -88,8 +90,9 @@ class MADConfig:
     #:   'overlap'   — like shard_map, but the interior contraction runs
     #:                 concurrently with the exchange and only the 1-voxel
     #:                 boundary slabs wait on the halos.
-    #: shard_map/overlap require operator_repr='stored' and a GS/Jacobi
-    #: smoother.
+    #: shard_map/overlap require operator_repr='stored' or 'compressed' and a
+    #: GS/Jacobi smoother (compressed + use_pallas = the distributed fast
+    #: path).
     halo: str = "gspmd"
     #: print the per-cycle relative-residual trace to stdout (reference
     #: SetVerbose, itkMultigridAnisotropicDiffusionImageFilter.h:154-158).
@@ -126,11 +129,14 @@ class MADConfig:
 
     @classmethod
     def tpu(cls, mixed_precision: bool = True, **kw) -> "MADConfig":
-        """The single-chip TPU fast path: compressed operator + fused Pallas
-        sweeps (+ bf16 inner defect cycles unless ``mixed_precision=False``).
-        Keyword overrides pass through to the constructor."""
+        """The TPU fast path: compressed operator + fused Pallas sweeps
+        (+ bf16 inner defect cycles unless ``mixed_precision=False``).  With a
+        mesh the sweeps run per-block inside shard_map, overlapped with the
+        ppermute halo exchange (halo='overlap').  Keyword overrides pass
+        through to the constructor."""
         kw.setdefault("operator_repr", "compressed")
         kw.setdefault("use_pallas", True)
+        kw.setdefault("halo", "overlap")
         if mixed_precision:
             kw.setdefault("defect_dtype", "bfloat16")
         return cls(**kw)
@@ -450,28 +456,52 @@ def _make_constraint(mesh, levels: Tuple[GridLevel, ...], min_local: int):
 def _make_halo_ops(mesh, levels: Tuple[GridLevel, ...], min_local: int,
                    config: MADConfig):
     """Explicit shard_map halo-exchange smoother/residual (halo='shard_map' /
-    'overlap'), dispatching the per-level PartitionSpec on array shape."""
+    'overlap'), dispatching the per-level PartitionSpec on array shape.
+
+    Stored and compressed operator representations are supported; with
+    ``use_pallas`` the compressed 3D levels run the fused Pallas block kernels
+    inside shard_map (the distributed fast path — kernel overlapped with the
+    halo exchange, boundary slabs spliced in after; parallel.halo)."""
+    from ..ops.compressed import CompressedDCAOperator
     from ..parallel.halo import (
         make_halo_jacobi_sweep,
+        make_halo_pallas_rbgs_sweep,
+        make_halo_pallas_residual,
         make_halo_rbgs_sweep,
         make_halo_residual,
     )
     from ..parallel.sharding import level_spec
 
-    if config.effective_operator_repr != "stored":
+    if config.effective_operator_repr == "matrix_free":
         raise ValueError(
-            "halo='shard_map'/'overlap' requires operator_repr='stored' "
-            f"(got {config.effective_operator_repr!r})"
+            "halo='shard_map'/'overlap' requires operator_repr='stored' or "
+            "'compressed' (matrix-free operators have no plane form to "
+            "exchange halos for)"
         )
     overlap = config.halo == "overlap"
+    use_pallas = config.use_pallas
+    # Mosaic is TPU-only; interpret elsewhere so the path stays functional
+    # (if slow) on CPU meshes (tests, dryrun_multichip).
+    interpret = jax.default_backend() != "tpu"
     specs = {
         lvl.shape: level_spec(mesh, lvl.shape, min_local) for lvl in levels
     }
 
+    def _pallas_dispatch(op, x) -> bool:
+        return (
+            use_pallas
+            and isinstance(op, CompressedDCAOperator)
+            and op.ndim == 3
+        )
+
     if config.smoother in ("gauss_seidel", "gs", "rbgs"):
         def smooth(op, x, b):
-            return make_halo_rbgs_sweep(
-                mesh, specs[tuple(x.shape)], overlap)(op, x, b)
+            spec = specs[tuple(x.shape)]
+            if _pallas_dispatch(op, x):
+                return make_halo_pallas_rbgs_sweep(mesh, spec, interpret)(
+                    op, x, b
+                )
+            return make_halo_rbgs_sweep(mesh, spec, overlap)(op, x, b)
     elif config.smoother in ("weighted_jacobi", "wj", "jacobi"):
         def smooth(op, x, b):
             return make_halo_jacobi_sweep(
@@ -484,7 +514,10 @@ def _make_halo_ops(mesh, levels: Tuple[GridLevel, ...], min_local: int,
         )
 
     def resid(op, x, b):
-        return make_halo_residual(mesh, specs[tuple(x.shape)], overlap)(op, x, b)
+        spec = specs[tuple(x.shape)]
+        if _pallas_dispatch(op, x):
+            return make_halo_pallas_residual(mesh, spec, interpret)(op, x, b)
+        return make_halo_residual(mesh, spec, overlap)(op, x, b)
 
     return smooth, resid
 

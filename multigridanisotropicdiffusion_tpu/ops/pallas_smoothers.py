@@ -95,6 +95,41 @@ def _offdiag_contraction(coeffs, sh):
     return off
 
 
+def _mask_local_shells(coeffs, diag_shape, nz: int, y: int, ty: int, k, j):
+    """Zero each off-diagonal coefficient on the *local-block* boundary shells
+    it reaches across: ``face_m[d]`` on the first shell of d, ``face_p[d]`` on
+    the last, mixed planes on both shells of both of their dimensions.
+
+    On a single device this is a no-op (Neumann folding already zeroed exactly
+    these entries, ops/compressed.py), but on a shard-local block it removes
+    every term that reads across a device boundary — the distributed path
+    (parallel.halo) restores those terms by recomputing the 1-voxel boundary
+    slabs from exchanged halos.  Pure VPU selects on VMEM-resident blocks.
+    """
+    fpz, fmz, fpy, fmy, fpx, fmx, mzy, mzx, myx = coeffs
+    x_dim = diag_shape[-1]
+    row = jax.lax.broadcasted_iota(jnp.int32, diag_shape, 1) + j * ty
+    col = jax.lax.broadcasted_iota(jnp.int32, diag_shape, 2)
+    z_lo, z_hi = k > 0, k < nz - 1
+    y_lo, y_hi = row > 0, row < y - 1
+    x_lo, x_hi = col > 0, col < x_dim - 1
+
+    def m(c, cond):
+        return jnp.where(cond, c, jnp.zeros_like(c))
+
+    return (
+        m(fpz, z_hi), m(fmz, z_lo),
+        m(fpy, y_hi), m(fmy, y_lo),
+        m(fpx, x_hi), m(fmx, x_lo),
+        m(mzy, jnp.logical_and(jnp.logical_and(z_lo, z_hi),
+                               jnp.logical_and(y_lo, y_hi))),
+        m(mzx, jnp.logical_and(jnp.logical_and(z_lo, z_hi),
+                               jnp.logical_and(x_lo, x_hi))),
+        m(myx, jnp.logical_and(jnp.logical_and(y_lo, y_hi),
+                               jnp.logical_and(x_lo, x_hi))),
+    )
+
+
 def _stencil_kernel(
     emit,
     ty: int,
@@ -102,6 +137,8 @@ def _stencil_kernel(
     aligned: bool,
     full_plane: bool,
     y: int,
+    nz: int,
+    local_mask: bool,
     *refs,
 ):
     """Shared kernel body: assemble shifted x-views, contract, emit output.
@@ -164,6 +201,8 @@ def _stencil_kernel(
 
     coeffs = tuple(up(r[...]) for r in coeff_refs[:9])
     diag = up(coeff_refs[9][...])
+    if local_mask:
+        coeffs = _mask_local_shells(coeffs, diag.shape, nz, y, ty, k, j)
     b_val = up(b[...])
     off = _offdiag_contraction(coeffs, sh)
     emit(off, xc_blk, diag, b_val, out, k, j)
@@ -184,10 +223,14 @@ def _emit_residual(off, xc_blk, diag, b_val, out, k, j):
 
 @functools.lru_cache(maxsize=64)
 def _build_stencil_pass(shape: Tuple[int, ...], dtype_name: str, kind: str,
-                        color: int, ty: int, interpret: bool):
+                        color: int, ty: int, interpret: bool,
+                        local_mask: bool = False):
     """Compile one grid pass over the compressed operator.
 
-    ``kind``: 'halfsweep' (uses ``color``) or 'residual'."""
+    ``kind``: 'halfsweep' (uses ``color``) or 'residual'.  ``local_mask``
+    zeroes coefficients reaching across the block border in-kernel (the
+    shard-local form used by the distributed path, see
+    :func:`_mask_local_shells`)."""
     z, y, x = shape
     dtype = jnp.dtype(dtype_name)
     ny = y // ty
@@ -249,7 +292,7 @@ def _build_stencil_pass(shape: Tuple[int, ...], dtype_name: str, kind: str,
         raise ValueError(f"unknown kind: {kind!r}")
 
     kernel = functools.partial(
-        _stencil_kernel, emit, ty, hh, aligned, full_plane, y
+        _stencil_kernel, emit, ty, hh, aligned, full_plane, y, z, local_mask
     )
     call = pl.pallas_call(
         kernel,
@@ -277,6 +320,35 @@ def _resolve_ty(shape, itemsize, ty):
     if ty is None:
         ty = pick_y_tile(shape[1], shape[2], itemsize)
     return ty
+
+
+def pallas_supports(shape: Tuple[int, ...], itemsize: int = 4) -> bool:
+    """Whether a 3D grid shape has a y-tiling that fits the VMEM budget."""
+    return len(shape) == 3 and pick_y_tile(shape[1], shape[2], itemsize) is not None
+
+
+def pallas_rbgs_halfsweep(
+    comp: CompressedDCAOperator,
+    x: jnp.ndarray,
+    b: jnp.ndarray,
+    color: int,
+    interpret: bool = False,
+    ty: int | None = None,
+    local_mask: bool = False,
+) -> jnp.ndarray:
+    """One GS half-sweep updating cells of parity ``color`` (static 0/1).
+
+    Building block of the distributed smoother (parallel.halo): with
+    ``local_mask`` the contraction drops every cross-block term, which the
+    caller restores via halo-exchanged boundary slabs.  Raises if the shape
+    has no valid y-tiling (check :func:`pallas_supports` first)."""
+    shape = tuple(x.shape)
+    ty = _resolve_ty(shape, x.dtype.itemsize, ty)
+    if ty is None:
+        raise ValueError(f"no y-tiling fits VMEM for shape {shape}")
+    half = _build_stencil_pass(shape, str(x.dtype), "halfsweep", color, ty,
+                               interpret, local_mask)
+    return half(comp, x, b)
 
 
 def pallas_rbgs_sweep(
@@ -314,15 +386,21 @@ def pallas_residual(
     b: jnp.ndarray,
     interpret: bool = False,
     ty: int | None = None,
+    local_mask: bool = False,
 ) -> jnp.ndarray:
     """Fused residual ``r = b - A x`` on the compressed operator via Pallas.
 
-    Falls back to the XLA apply when no y-tiling fits the VMEM budget."""
+    Falls back to the XLA apply when no y-tiling fits the VMEM budget (the
+    ``local_mask`` shard-local form has no fallback — check
+    :func:`pallas_supports`)."""
     if comp.ndim != 3:
         raise ValueError("pallas_residual supports 3D grids only")
     shape = tuple(x.shape)
     ty = _resolve_ty(shape, x.dtype.itemsize, ty)
     if ty is None:
+        if local_mask:
+            raise ValueError(f"no y-tiling fits VMEM for shape {shape}")
         return b - comp.apply(x)
-    run = _build_stencil_pass(shape, str(x.dtype), "residual", 0, ty, interpret)
+    run = _build_stencil_pass(shape, str(x.dtype), "residual", 0, ty,
+                              interpret, local_mask)
     return run(comp, x, b)

@@ -1,11 +1,14 @@
 """Explicit halo-exchange smoothers: shard_map + ppermute, with optional
-interior/boundary overlap.
+interior/boundary overlap and fused Pallas block kernels.
 
 The default distribution path (:mod:`.sharding`) writes global-view ops and
 lets XLA's SPMD partitioner insert halo exchanges.  This module is the
 hand-scheduled alternative: each device owns a block, one-voxel face halos
 move between ICI neighbors via ``lax.ppermute``, and the smoother runs on the
-local block with its halo ring.
+local block with its halo ring.  Both the generic stored
+:class:`~..core.stencil.StencilOperator` and the compressed DCA operator
+(:mod:`..ops.compressed`) are supported, the latter optionally through the
+fused Pallas TPU kernels (:mod:`..ops.pallas_smoothers`).
 
 With ``overlap=True`` the sweep is restructured for communication/compute
 overlap: the full-block stencil contraction is computed against *zero* halos
@@ -14,7 +17,11 @@ scheduler runs it concurrently with the ppermutes — and once the halos
 arrive, only the 1-voxel boundary slabs of the sharded dimensions are
 recomputed with the true neighbor values and spliced in.  The slab recompute
 is O(surface) vs the O(volume) interior, so the exposed communication cost is
-just the splice.
+just the splice.  The Pallas path is *always* overlapped: the kernel runs
+with in-kernel shard-locally-masked coefficients (every cross-block term
+dropped — see ``ops.pallas_smoothers._mask_local_shells``) and therefore
+depends on no collective; the boundary slabs are then recomputed in XLA from
+the exchanged halos and spliced in.
 
 Semantics: ghost values outside the *global* domain are zero — exactly the
 contract of the boundary-folded operators (out-of-range coefficients are
@@ -23,7 +30,8 @@ neighbor.  Red-black parity is computed from *global* coordinates so coloring
 is partition-invariant.
 
 Requires every sharded axis to divide evenly (the same restriction as
-:func:`..parallel.sharding.level_spec`).
+:func:`..parallel.sharding.level_spec`; see :mod:`.padding` for the
+pad-to-divisible wrapper).
 """
 
 from __future__ import annotations
@@ -37,11 +45,48 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec
 
 from ..core.stencil import StencilOperator
+from ..ops.compressed import CompressedDCAOperator
 
 try:  # jax >= 0.6 exposes shard_map at top level
     from jax import shard_map as _shard_map
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def _offdiag_terms(op):
+    """The off-diagonal part of ``op`` as ``(offset, plane, sign)`` triples.
+
+    Uniform term-list view over both operator representations: the stored
+    operator contributes one plane per non-center offset; the compressed DCA
+    operator contributes its face planes and four signed copies of each mixed
+    plane (ops/compressed.py docstring)."""
+    if isinstance(op, CompressedDCAOperator):
+        ndim = op.ndim
+        terms = []
+        for d in range(ndim):
+            e = [0] * ndim
+            e[d] = 1
+            terms.append((tuple(e), op.face_p[d], 1.0))
+            e = [0] * ndim
+            e[d] = -1
+            terms.append((tuple(e), op.face_m[d], 1.0))
+        k = 0
+        for d in range(ndim):
+            for d2 in range(d + 1, ndim):
+                for s1 in (1, -1):
+                    for s2 in (1, -1):
+                        off = [0] * ndim
+                        off[d] = s1
+                        off[d2] = s2
+                        terms.append((tuple(off), op.mixed[k], float(s1 * s2)))
+                k += 1
+        return tuple(terms)
+    c = op.center_index
+    return tuple(
+        (off, op.coeffs[k], 1.0)
+        for k, off in enumerate(op.offsets)
+        if k != c
+    )
 
 
 def _exchange_halos(x_local: jnp.ndarray, mesh: Mesh, spec: PartitionSpec):
@@ -73,16 +118,13 @@ def _exchange_halos(x_local: jnp.ndarray, mesh: Mesh, spec: PartitionSpec):
     return x_local
 
 
-def _local_offdiag(op_local: StencilOperator, x_pad: jnp.ndarray) -> jnp.ndarray:
+def _local_offdiag(op_local, x_pad: jnp.ndarray) -> jnp.ndarray:
     """Off-diagonal stencil contraction on a halo-padded local block."""
     shape = op_local.shape
-    c = op_local.center_index
     out = None
-    for k, off in enumerate(op_local.offsets):
-        if k == c:
-            continue
+    for off, plane, sign in _offdiag_terms(op_local):
         sl = tuple(slice(1 + o, 1 + o + s) for o, s in zip(off, shape))
-        term = op_local.coeffs[k] * x_pad[sl]
+        term = (sign * plane) * x_pad[sl] if sign != 1.0 else plane * x_pad[sl]
         out = term if out is None else out + term
     return out
 
@@ -97,37 +139,38 @@ def _sharded_dims(mesh: Mesh, spec: PartitionSpec, ndim: int):
     return tuple(out)
 
 
+def _slab_slice(shape, d: int, lo: bool):
+    pos = 0 if lo else shape[d] - 1
+    return tuple(
+        slice(pos, pos + 1) if dd == d else slice(None)
+        for dd in range(len(shape))
+    ), pos
+
+
 def _local_offdiag_slab(
-    op_local: StencilOperator, x_pad: jnp.ndarray, d: int, lo: bool
+    op_local, x_pad: jnp.ndarray, d: int, lo: bool
 ) -> jnp.ndarray:
     """Off-diagonal contraction for the 1-thick boundary slab of dim ``d``
     (low or high side), read from the *fully halo-padded* local block — the
     complete, correct value for those cells (including corner terms that
     reference halos of other dimensions)."""
     shape = op_local.shape
-    ndim = len(shape)
-    c = op_local.center_index
-    pos = 0 if lo else shape[d] - 1
-    coeff_sl = tuple(
-        slice(pos, pos + 1) if dd == d else slice(None) for dd in range(ndim)
-    )
+    coeff_sl, pos = _slab_slice(shape, d, lo)
     out = None
-    for k, off in enumerate(op_local.offsets):
-        if k == c:
-            continue
+    for off, plane, sign in _offdiag_terms(op_local):
         sl = tuple(
             slice(1 + pos + o, 2 + pos + o)
             if dd == d
             else slice(1 + o, 1 + o + s)
             for dd, (o, s) in enumerate(zip(off, shape))
         )
-        term = op_local.coeffs[k][coeff_sl] * x_pad[sl]
+        term = sign * plane[coeff_sl] * x_pad[sl]
         out = term if out is None else out + term
     return out
 
 
 def _offdiag_exchange(
-    op_local: StencilOperator,
+    op_local,
     x_l: jnp.ndarray,
     mesh: Mesh,
     spec: PartitionSpec,
@@ -170,9 +213,21 @@ def _global_parity(shape_local: Tuple[int, ...], mesh: Mesh, spec: PartitionSpec
     return acc % 2 == 0
 
 
-def _specs(mesh: Mesh, spec: PartitionSpec):
-    return dict(mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-                check_vma=False)
+def _origin_parity(shape_local: Tuple[int, ...], mesh: Mesh, spec: PartitionSpec):
+    """Parity of the local block's global origin-coordinate sum (traced)."""
+    acc = jnp.int32(0)
+    for d, s in enumerate(shape_local):
+        axis_name = spec[d] if d < len(spec) else None
+        if axis_name is not None:
+            acc = acc + lax.axis_index(axis_name) * s
+    return acc % 2
+
+
+def _shmap(mesh: Mesh, spec: PartitionSpec, fn):
+    return _shard_map(
+        fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )
 
 
 @functools.lru_cache(maxsize=64)
@@ -180,10 +235,11 @@ def make_halo_rbgs_sweep(mesh: Mesh, spec: PartitionSpec, overlap: bool = False)
     """Build a jittable red-black GS sweep with explicit halo exchange.
 
     Returns ``sweep(op, x, b) -> x'`` where all arrays (and operator planes)
-    are sharded according to ``spec`` over ``mesh``.  Two exchanges per sweep:
-    the black half-sweep needs the freshly updated red halos.  With
-    ``overlap`` each half-sweep's interior contraction runs concurrently with
-    its exchange (see :func:`_offdiag_exchange`).
+    are sharded according to ``spec`` over ``mesh``.  ``op`` may be a stored
+    :class:`StencilOperator` or a :class:`CompressedDCAOperator`.  Two
+    exchanges per sweep: the black half-sweep needs the freshly updated red
+    halos.  With ``overlap`` each half-sweep's interior contraction runs
+    concurrently with its exchange (see :func:`_offdiag_exchange`).
     """
 
     def sweep(op, x, b):
@@ -196,10 +252,7 @@ def make_halo_rbgs_sweep(mesh: Mesh, spec: PartitionSpec, overlap: bool = False)
                 x_l = jnp.where(red == color, upd, x_l)
             return x_l
 
-        return _shard_map(
-            local, mesh=mesh,
-            in_specs=(spec, spec, spec), out_specs=spec, check_vma=False,
-        )(op, x, b)
+        return _shmap(mesh, spec, local)(op, x, b)
 
     return sweep
 
@@ -217,10 +270,7 @@ def make_halo_jacobi_sweep(
             upd = (b_l - off) / op_local.diag
             return (1.0 - omega) * x_l + omega * upd
 
-        return _shard_map(
-            local, mesh=mesh,
-            in_specs=(spec, spec, spec), out_specs=spec, check_vma=False,
-        )(op, x, b)
+        return _shmap(mesh, spec, local)(op, x, b)
 
     return sweep
 
@@ -234,9 +284,121 @@ def make_halo_residual(mesh: Mesh, spec: PartitionSpec, overlap: bool = False):
             off = _offdiag_exchange(op_local, x_l, mesh, spec, overlap)
             return b_l - off - op_local.diag * x_l
 
-        return _shard_map(
-            local, mesh=mesh,
-            in_specs=(spec, spec, spec), out_specs=spec, check_vma=False,
-        )(op, x, b)
+        return _shmap(mesh, spec, local)(op, x, b)
+
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas block kernels inside shard_map (the distributed fast path)
+# ---------------------------------------------------------------------------
+
+def _pallas_ok(x_l) -> bool:
+    from ..ops.pallas_smoothers import pallas_supports
+
+    return pallas_supports(tuple(x_l.shape), x_l.dtype.itemsize)
+
+
+def _halfsweep_slab_fix(
+    op_l, x_new, x_l, x_pad, b_l, red, color: int, mesh: Mesh,
+    spec: PartitionSpec,
+):
+    """Recompute the half-sweep on the 1-voxel boundary slabs of sharded dims
+    from exchanged halos and splice into the kernel output (whose masked
+    contraction dropped every cross-block term there).  Overlapping slabs
+    (block edges/corners) write identical full-contraction values, so the
+    overwrites are idempotent."""
+    ndim = x_l.ndim
+    for d in _sharded_dims(mesh, spec, ndim):
+        for lo in (True, False):
+            off = _local_offdiag_slab(op_l, x_pad, d, lo)
+            sl, pos = _slab_slice(x_l.shape, d, lo)
+            upd = (b_l[sl] - off) / op_l.diag[sl]
+            # kernel color 0 updates global-even cells (red == True)
+            new = jnp.where(red[sl] == (color == 0), upd, x_l[sl])
+            start = [0] * ndim
+            start[d] = pos
+            x_new = lax.dynamic_update_slice(x_new, new, tuple(start))
+    return x_new
+
+
+@functools.lru_cache(maxsize=64)
+def make_halo_pallas_rbgs_sweep(
+    mesh: Mesh, spec: PartitionSpec, interpret: bool = False
+):
+    """Red-black GS sweep running the fused Pallas kernel on each local block.
+
+    Per half-sweep: the kernel contracts with shard-locally-masked
+    coefficients (no dependency on any collective — always overlapped with
+    the ppermute exchange), then the boundary slabs are recomputed in XLA
+    from the received halos and spliced in.  The kernel's local parity is
+    rebased to global parity by flipping the color on odd-origin blocks.
+    Blocks with no valid y-tiling (tiny coarse levels, 2D) fall back to the
+    XLA halo contraction within the same shard_map.
+    """
+    from ..ops.pallas_smoothers import pallas_rbgs_halfsweep
+
+    def sweep(op, x, b):
+        def local(op_local, x_l, b_l):
+            red = _global_parity(x_l.shape, mesh, spec)
+            if not _pallas_ok(x_l):
+                diag = op_local.diag
+                for color in (True, False):
+                    off = _offdiag_exchange(op_local, x_l, mesh, spec, True)
+                    x_l = jnp.where(red == color, (b_l - off) / diag, x_l)
+                return x_l
+
+            flip = _origin_parity(x_l.shape, mesh, spec)
+            for color in (0, 1):
+                x_pad = _exchange_halos(x_l, mesh, spec)
+                x_new = lax.cond(
+                    flip == 0,
+                    lambda x_=x_l, b_=b_l, c=color: pallas_rbgs_halfsweep(
+                        op_local, x_, b_, c, interpret=interpret,
+                        local_mask=True),
+                    lambda x_=x_l, b_=b_l, c=color: pallas_rbgs_halfsweep(
+                        op_local, x_, b_, 1 - c, interpret=interpret,
+                        local_mask=True),
+                )
+                x_l = _halfsweep_slab_fix(
+                    op_local, x_new, x_l, x_pad, b_l, red, color, mesh, spec
+                )
+            return x_l
+
+        return _shmap(mesh, spec, local)(op, x, b)
+
+    return sweep
+
+
+@functools.lru_cache(maxsize=64)
+def make_halo_pallas_residual(
+    mesh: Mesh, spec: PartitionSpec, interpret: bool = False
+):
+    """``r = b - A x`` via the fused Pallas kernel on each local block, with
+    boundary slabs recomputed from exchanged halos (see the sweep above)."""
+    from ..ops.pallas_smoothers import pallas_residual
+
+    def res(op, x, b):
+        def local(op_local, x_l, b_l):
+            if not _pallas_ok(x_l):
+                off = _offdiag_exchange(op_local, x_l, mesh, spec, True)
+                return b_l - off - op_local.diag * x_l
+
+            r = pallas_residual(
+                op_local, x_l, b_l, interpret=interpret, local_mask=True
+            )
+            x_pad = _exchange_halos(x_l, mesh, spec)
+            ndim = x_l.ndim
+            for d in _sharded_dims(mesh, spec, ndim):
+                for lo in (True, False):
+                    off = _local_offdiag_slab(op_local, x_pad, d, lo)
+                    sl, pos = _slab_slice(x_l.shape, d, lo)
+                    slab = b_l[sl] - off - op_local.diag[sl] * x_l[sl]
+                    start = [0] * ndim
+                    start[d] = pos
+                    r = lax.dynamic_update_slice(r, slab, tuple(start))
+            return r
+
+        return _shmap(mesh, spec, local)(op, x, b)
 
     return res

@@ -96,3 +96,100 @@ def test_halo_rbgs_repeated_convergence(problem):
         x = sweep(op, x, b)
         xg = rb_gauss_seidel_sweep(op, xg, b)
     np.testing.assert_allclose(np.asarray(x), np.asarray(xg), rtol=1e-10, atol=1e-10)
+
+@pytest.fixture(params=[
+    ((16, 24, 16), (2, 2, 2)),
+    ((18, 24, 16), (2, 2, 2)),   # odd local blocks: origin-parity rebasing
+])
+def comp_problem(rng, request):
+    from multigridanisotropicdiffusion_tpu.ops.compressed import (
+        assemble_compressed_dca,
+    )
+
+    shape, mesh_shape = request.param
+    tensor = make_spd_tensor_field(rng, shape, 3, hi=3.0)
+    op = assemble_compressed_dca(as_sym_planes(tensor, shape), (1.0,) * 3, 0.1)
+    x = jnp.asarray(rng.normal(size=shape))
+    b = jnp.asarray(rng.normal(size=shape))
+    mesh = make_grid_mesh(3, mesh_shape=mesh_shape)
+    spec = PartitionSpec(*mesh.axis_names)
+    return op, x, b, mesh, spec
+
+
+@needs_8
+@overlap_param
+def test_halo_compressed_rbgs_matches_global(comp_problem, overlap):
+    """The generic XLA halo path accepts the compressed DCA operator."""
+    op, x, b, mesh, spec = comp_problem
+    got = np.asarray(jax.jit(make_halo_rbgs_sweep(mesh, spec, overlap))(op, x, b))
+    want = np.asarray(rb_gauss_seidel_sweep(op, x, b))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+@needs_8
+def test_halo_pallas_rbgs_matches_global(comp_problem):
+    """The fused Pallas block kernel inside shard_map (interpret mode on CPU)
+    reproduces the global red-black sweep, including global-parity rebasing
+    on odd-origin blocks and halo-slab splicing."""
+    from multigridanisotropicdiffusion_tpu.parallel.halo import (
+        make_halo_pallas_rbgs_sweep,
+    )
+
+    op, x, b, mesh, spec = comp_problem
+    sweep = make_halo_pallas_rbgs_sweep(mesh, spec, interpret=True)
+    got = np.asarray(jax.jit(sweep)(op, x, b))
+    want = np.asarray(rb_gauss_seidel_sweep(op, x, b))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+@needs_8
+def test_halo_pallas_residual_matches_global(comp_problem):
+    from multigridanisotropicdiffusion_tpu.parallel.halo import (
+        make_halo_pallas_residual,
+    )
+
+    op, x, b, mesh, spec = comp_problem
+    res = make_halo_pallas_residual(mesh, spec, interpret=True)
+    got = np.asarray(jax.jit(res)(op, x, b))
+    want = np.asarray(global_residual(op, x, b))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+@needs_8
+def test_halo_pallas_partially_replicated(rng):
+    """Replicated axes need no slab fix; the kernel's local masking is a
+    no-op at true global borders there."""
+    from multigridanisotropicdiffusion_tpu.ops.compressed import (
+        assemble_compressed_dca,
+    )
+    from multigridanisotropicdiffusion_tpu.parallel.halo import (
+        make_halo_pallas_rbgs_sweep,
+    )
+
+    shape = (20, 16, 12)
+    tensor = make_spd_tensor_field(rng, shape, 3, hi=3.0)
+    op = assemble_compressed_dca(as_sym_planes(tensor, shape), (1.0,) * 3, 0.1)
+    x = jnp.asarray(rng.normal(size=shape))
+    b = jnp.asarray(rng.normal(size=shape))
+    mesh = make_grid_mesh(3, mesh_shape=(4, 2, 1))
+    spec = PartitionSpec("x", "y", None)
+    sweep = make_halo_pallas_rbgs_sweep(mesh, spec, interpret=True)
+    got = np.asarray(jax.jit(sweep)(op, x, b))
+    want = np.asarray(rb_gauss_seidel_sweep(op, x, b))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+@needs_8
+def test_halo_pallas_repeated_convergence(comp_problem):
+    """Many distributed Pallas sweeps track the global sweeps exactly."""
+    from multigridanisotropicdiffusion_tpu.parallel.halo import (
+        make_halo_pallas_rbgs_sweep,
+    )
+
+    op, x, b, mesh, spec = comp_problem
+    sweep = jax.jit(make_halo_pallas_rbgs_sweep(mesh, spec, interpret=True))
+    xg = x
+    for _ in range(10):
+        x = sweep(op, x, b)
+        xg = rb_gauss_seidel_sweep(op, xg, b)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(xg), rtol=1e-10, atol=1e-10)

@@ -150,3 +150,31 @@ def test_sharded_output_sharding(rng):
     )
     out_sharding = res.output.sharding
     assert out_sharding.is_equivalent_to(field_sharding(mesh, shape, 8), 2)
+
+
+@needs_8_devices
+@pytest.mark.parametrize("cycle", ["vcycle", "fmg"])
+def test_distributed_pallas_fast_path_matches_single(rng, cycle):
+    """The distributed fast path — compressed operator + fused Pallas block
+    kernels inside shard_map, overlapped halo exchange (the north-star
+    config, VERDICT r1 item 1) — matches the plain single-device solve."""
+    shape = (16, 16, 16)
+    tensor = make_spd_tensor_field(rng, shape, 3, hi=2.0)
+    image = rng.normal(size=shape) * 10.0
+
+    ref = mad_diffusion(
+        image, tensor,
+        config=MADConfig(time_step=0.1, tolerance=1e-9, max_cycles=60,
+                         cycle=cycle),
+    )
+    cfg = MADConfig(
+        time_step=0.1, tolerance=1e-9, max_cycles=60, cycle=cycle,
+        operator_repr="compressed", use_pallas=True, halo="overlap",
+    )
+    mesh = make_grid_mesh(3, mesh_shape=(2, 2, 2))
+    got = mad_diffusion(image, tensor, config=cfg, mesh=mesh, min_local=4)
+
+    assert int(got.num_cycles[0]) == int(ref.num_cycles[0])
+    np.testing.assert_allclose(
+        np.asarray(got.output), np.asarray(ref.output), rtol=1e-8, atol=1e-8
+    )
