@@ -494,6 +494,143 @@ def _run_ved(n: int) -> dict:
     return out
 
 
+def _run_weak_scaling(per_chip: int = 32, max_devices: int = 8) -> dict:
+    """Weak-scaling study on the virtual CPU device mesh: a fixed per-chip
+    block (per_chip^3), 1 -> max_devices chips along one axis, timing the
+    distributed-fast-path sweep (compressed + Pallas-interpret + overlap slab
+    splice).  On virtual devices all "chips" share the host's cores, so the
+    absolute numbers measure *plumbing* (shard_map/ppermute/splice overhead
+    scaling), not ICI — the real-hardware protocol is documented in
+    parallel/sharding.py (multi-host section).  Must run in a process where
+    JAX_PLATFORMS=cpu and xla_force_host_platform_device_count are set."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec
+
+    from multigridanisotropicdiffusion_tpu.ops.compressed import (
+        assemble_compressed_dca,
+    )
+    from multigridanisotropicdiffusion_tpu.parallel.halo import (
+        make_halo_rbgs_sweep,
+    )
+    from multigridanisotropicdiffusion_tpu.parallel.sharding import make_grid_mesh
+
+    dtype = jnp.float32
+    out = {"per_chip_block": per_chip, "platform": jax.default_backend()}
+    results = {}
+    n_avail = len(jax.devices())
+    counts = [c for c in (1, 2, 4, 8) if c <= min(max_devices, n_avail)]
+    for c in counts:
+        shape = (per_chip * c, per_chip, per_chip)
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(3, 3, *shape)).astype(np.float32)
+        full = np.einsum("ik...,jk...->ij...", a, a)
+        for d in range(3):
+            full[d, d] += 2.0
+        tensor = tuple(
+            jnp.asarray(full[i, j])
+            for i, j in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+        )
+        comp = assemble_compressed_dca(tensor, (1.0,) * 3, 0.1)
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        mesh = make_grid_mesh(3, devices=jax.devices()[:c], mesh_shape=(c, 1, 1))
+        spec = PartitionSpec("x", None, None)
+        # the XLA halo path (interpret-mode Pallas on CPU is orders of
+        # magnitude slower than the XLA sweep and would measure the
+        # interpreter, not the plumbing)
+        sweep = make_halo_rbgs_sweep(mesh, spec, True)
+
+        @jax.jit
+        def sweeps(comp, x, b):
+            return jax.lax.fori_loop(
+                0, 5, lambda i, x: sweep(comp, x, b), x
+            )
+
+        y = sweeps(comp, x, b)
+        y.block_until_ready()  # compile + warm
+        t0 = time.perf_counter()
+        sweeps(comp, x, b).block_until_ready()
+        results[c] = (time.perf_counter() - t0) / 5
+    out["sweep_s_by_chips"] = results
+    if 1 in results:
+        # on a shared-host virtual mesh, c "chips" run c-times the work on
+        # the same silicon — perfect weak scaling is t_c = c * t_1, so the
+        # plumbing efficiency (shard_map/ppermute/splice overhead) is
+        # t_1 * c / t_c.  On real hardware (c real chips) the conventional
+        # t_1 / t_c applies; see the multi-host notes in parallel/sharding.
+        out["plumbing_efficiency_by_chips"] = {
+            c: results[1] * c / results[c] for c in results
+        }
+    return out
+
+
+def _run_dist_overhead(n: int = 256) -> dict:
+    """Distributed-path overhead on ONE real chip: the shard_map-wrapped
+    Pallas sweep (local masking + slab splice machinery, 1-device mesh — no
+    actual communication) vs the plain single-chip Pallas sweep.  The ratio
+    bounds the per-chip cost the 8-chip north-star config pays on top of the
+    single-chip kernel (VERDICT r1 item 1's <=1.3x criterion, minus ICI)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec
+
+    from multigridanisotropicdiffusion_tpu.ops.compressed import (
+        assemble_compressed_dca,
+    )
+    from multigridanisotropicdiffusion_tpu.ops.pallas_smoothers import (
+        pallas_rbgs_sweep,
+    )
+    from multigridanisotropicdiffusion_tpu.parallel.halo import (
+        make_halo_pallas_rbgs_sweep,
+    )
+    from multigridanisotropicdiffusion_tpu.parallel.sharding import make_grid_mesh
+
+    dtype = jnp.float32
+    shape = (n, n, n)
+    out = {"grid": list(shape), "device": str(jax.devices()[0])}
+
+    @jax.jit
+    def make(key):
+        ks = jax.random.split(key, 7)
+        t = tuple(
+            jax.random.uniform(ks[i], shape, dtype, 1.0, 3.0) if i in (0, 3, 5)
+            else jax.random.uniform(ks[i], shape, dtype, -0.3, 0.3)
+            for i in range(6)
+        )
+        x = jax.random.normal(ks[6], shape, dtype)
+        return t, x
+
+    tensor, x = make(jax.random.PRNGKey(0))
+    comp = jax.jit(lambda t: assemble_compressed_dca(t, (1.0,) * 3, 0.1))(tensor)
+    b = x + 1.0
+    mesh = make_grid_mesh(3, devices=jax.devices()[:1], mesh_shape=(1, 1, 1))
+    spec = PartitionSpec("x", "y", "z")
+    interpret = jax.default_backend() != "tpu"
+    dist_sweep = make_halo_pallas_rbgs_sweep(mesh, spec, interpret)
+
+    def timed(fn):
+        @jax.jit
+        def many(comp, x, b):
+            return jax.lax.fori_loop(0, SWEEPS, lambda i, x: fn(comp, x, b), x)
+
+        t0 = time.perf_counter()
+        float(np.asarray(many(comp, x, b).ravel()[0]))
+        compile_s = time.perf_counter() - t0
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(np.asarray(many(comp, x, b).ravel()[0]))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return compile_s, best / SWEEPS
+
+    out["plain_compile_s"], out["plain_sweep_s"] = timed(pallas_rbgs_sweep)
+    out["dist_compile_s"], out["dist_sweep_s"] = timed(dist_sweep)
+    out["dist_over_plain"] = out["dist_sweep_s"] / out["plain_sweep_s"]
+    return out
+
+
 def main():
     import subprocess
     import sys
@@ -505,6 +642,22 @@ def main():
             return
         if "--ved-only" in args:
             print(json.dumps({"ved_only": int(args[1]), **_run_ved(int(args[1]))}))
+            return
+        if "--weak-only" in args:
+            # force the local-CPU virtual mesh: the env pins a remote-TPU
+            # platform and a sitecustomize imports jax at startup, so the
+            # config API (not env vars) is the only reliable override
+            os.environ["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + " --xla_force_host_platform_device_count=8"
+            ).strip()
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+            print(json.dumps({"weak_only": 1, **_run_weak_scaling()}))
+            return
+        if "--dist-only" in args:
+            print(json.dumps({"dist_only": int(args[1]), **_run_dist_overhead(int(args[1]))}))
             return
         with_solve = "--solve" in args
         print(run_size(int(args[1]), with_solve))
@@ -520,28 +673,57 @@ def main():
     sizes = [int(s) for s in args if s.isdigit()] or [256, 128]
     import tempfile
 
-    def run_sub(cmd, timeout):
-        """Run a bench subprocess, return its first JSON line (or None).
+    def run_sub(cmd, timeout, env=None):
+        """Run a bench subprocess, return (parsed JSON line or None, output).
 
         Output goes to a temp FILE: backend helper processes can inherit a
         stdout pipe and keep it open past child exit, deadlocking a
         pipe-based capture."""
         with tempfile.NamedTemporaryFile("w+", suffix=".log", delete=False) as f:
             log_path = f.name
+        full_env = None
+        if env is not None:
+            full_env = dict(os.environ)
+            full_env.update(env)
         try:
             with open(log_path, "w") as f:
                 subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT,
-                               timeout=timeout)
+                               timeout=timeout, env=full_env)
         except subprocess.TimeoutExpired:
-            return None, ""
+            return None, open(log_path).read() + "\n[TIMEOUT]"
         out = open(log_path).read()
         for line in out.splitlines():
-            if line.startswith("{") and ('"metric"' in line or '"ved_only"' in line):
+            if line.startswith("{") and (
+                '"metric"' in line or '"ved_only"' in line
+                or '"solve_only"' in line or '"weak_only"' in line
+                or '"dist_only"' in line
+            ):
                 return json.loads(line), out
         return None, out
 
+    errors = {}
+
+    # 1) Headline = the BASELINE.json north star: full 512^3 VED workload
+    # (vesselness pipeline + hierarchy setup + diffusion solve to 1e-6) on one
+    # chip; target is <1 s on EIGHT chips (v5e-8), so vs_baseline =
+    # target_s / measured_s (>1 = beating the 8-chip target on one chip).
+    # Cold 512^3 compiles through the remote tunnel can exceed any single
+    # timeout, but every finished compile lands in the persistent cache
+    # (JAX_COMPILATION_CACHE_DIR), so a retry RESUMES where the previous
+    # attempt died — run up to 3 attempts before falling back, and record the
+    # failure loudly instead of silently dropping the headline (VERDICT r1).
+    ved = None
+    for attempt in range(3):
+        ved, out = run_sub(
+            [sys.executable, __file__, "--single", "512", "--ved-only"], 2400
+        )
+        if ved is not None and "ved_total_best_s" in ved:
+            break
+        errors[f"ved_attempt_{attempt}"] = out[-1500:]
+        ved = None
+
+    # 2) smoother-throughput study (rides in extra; fallback headline)
     smoother = None
-    last = None
     for n in sizes:
         cmd = [sys.executable, __file__, "--single", str(n)]
         if with_solve:
@@ -549,34 +731,57 @@ def main():
         smoother, out = run_sub(cmd, 3000)
         if smoother is not None:
             break
-        last = out[-2000:]
-    if smoother is None:
-        raise SystemExit(f"bench failed at all sizes; last output:\n{last}")
+        errors[f"smoother_{n}"] = out[-1500:]
+    if smoother is None and ved is None:
+        raise SystemExit(f"bench failed everywhere: {json.dumps(errors)[:4000]}")
 
-    # Headline = the BASELINE.json north star: full 512^3 VED workload
-    # (vesselness pipeline + hierarchy setup + diffusion solve to 1e-6) on one
-    # chip; target is <1 s on EIGHT chips (v5e-8), so vs_baseline =
-    # target_s / measured_s (>1 = beating the 8-chip target on one chip).
-    # Falls back to the smoother-throughput headline if the VED run fails
-    # (e.g. cold-compile timeout through the remote tunnel).
-    ved, _ = run_sub(
-        [sys.executable, __file__, "--single", "512", "--ved-only"], 1800
+    # 3) full-solve + Galerkin study at 256^3 (setup & solve times)
+    solve_info, out = run_sub(
+        [sys.executable, __file__, "--single", "256", "--solve-only"], 2400
     )
-    if ved is not None and "ved_total_best_s" in ved:
+    if solve_info is None:
+        errors["solve_256"] = out[-1500:]
+
+    # 4) weak-scaling plumbing study on the virtual CPU mesh
+    weak, out = run_sub(
+        [sys.executable, __file__, "--single", "0", "--weak-only"], 900,
+        env={
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": (os.environ.get("XLA_FLAGS", "")
+                          + " --xla_force_host_platform_device_count=8").strip(),
+        },
+    )
+    if weak is None:
+        errors["weak_scaling"] = out[-1500:]
+
+    # 5) distributed-path overhead on a 1-chip mesh (real chip)
+    dist, out = run_sub(
+        [sys.executable, __file__, "--single", "256", "--dist-only"], 1800
+    )
+    if dist is None:
+        errors["dist_overhead"] = out[-1500:]
+
+    extra = {
+        "smoother": smoother,
+        "solve_galerkin_256": solve_info,
+        "weak_scaling": weak,
+        "dist_overhead_one_chip": dist,
+        "errors": errors or None,
+    }
+    if ved is not None:
         total = ved["ved_total_best_s"]
+        extra["north_star"] = ("BASELINE.json: 512^3 VED to 1e-6 in <1 s on "
+                               "v5e-8; this measurement uses ONE chip")
+        extra["ved"] = ved
         print(json.dumps({
             "metric": "ved_512^3_solve_to_1e-6_total_s_one_chip",
             "value": total,
             "unit": "s",
             "vs_baseline": 1.0 / total,
-            "extra": {
-                "north_star": "BASELINE.json: 512^3 VED to 1e-6 in <1 s on "
-                              "v5e-8; this measurement uses ONE chip",
-                "ved": ved,
-                "smoother": smoother,
-            },
+            "extra": extra,
         }))
         return
+    smoother["extra"] = {**smoother.get("extra", {}), **extra}
     print(json.dumps(smoother))
 
 

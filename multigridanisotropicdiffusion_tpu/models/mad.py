@@ -203,6 +203,56 @@ def _no_constraint(level: int, x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+class Transfers(NamedTuple):
+    """Level-aware inter-grid hooks used by the cycles.
+
+    ``restrict(r, fine_level)`` maps a field at ``fine_level`` down one
+    level; ``prolong(ec, fine_level)`` maps a field at ``fine_level + 1`` up;
+    ``solve_coarse(solver, b, level)`` runs the coarsest direct solve.  The
+    standard implementation applies ops.transfer / ops.coarse directly; the
+    padded-distribution variant (parallel.padding) crops to the true level
+    shape, applies the standard operator, and re-pads.
+    """
+
+    restrict: object
+    prolong: object
+    solve_coarse: object
+
+
+def _standard_transfers(levels: Tuple[GridLevel, ...]) -> Transfers:
+    return Transfers(
+        restrict=lambda r, fl: restrict(r, levels[fl + 1].centering),
+        prolong=lambda ec, fl: prolong(ec, levels[fl + 1].centering),
+        solve_coarse=lambda solver, b, level: coarse_solve(solver, b),
+    )
+
+
+def _padded_transfers(
+    levels: Tuple[GridLevel, ...], pshapes: Tuple[Tuple[int, ...], ...]
+) -> Transfers:
+    """Transfers for the pad-to-divisible distributed solve: every level
+    array lives in its mesh-divisible embedding (parallel.padding); transfers
+    crop to the true shape, apply the standard operator, and re-pad (pad
+    cells are exactly zero throughout, so this is the unpadded math)."""
+    from ..parallel.padding import crop_field, pad_field
+
+    def rest(r, fl):
+        rc = restrict(crop_field(r, levels[fl].shape), levels[fl + 1].centering)
+        return pad_field(rc, pshapes[fl + 1])
+
+    def prol(ec, fl):
+        e = prolong(
+            crop_field(ec, levels[fl + 1].shape), levels[fl + 1].centering
+        )
+        return pad_field(e, pshapes[fl])
+
+    def solvec(solver, b, level):
+        x = coarse_solve(solver, crop_field(b, levels[level].shape))
+        return pad_field(x, pshapes[level])
+
+    return Transfers(restrict=rest, prolong=prol, solve_coarse=solvec)
+
+
 def v_cycle(
     hier: Hierarchy,
     levels: Tuple[GridLevel, ...],
@@ -213,6 +263,7 @@ def v_cycle(
     level: int = 0,
     constrain=_no_constraint,
     resid=residual,
+    transfers: Transfers | None = None,
 ) -> jnp.ndarray:
     """One V-cycle starting at ``level`` (reference VCycle, .hxx:341-493).
 
@@ -220,22 +271,23 @@ def v_cycle(
     directly (.hxx:356-370).  ``constrain(level, array)`` optionally pins the
     per-level sharding (SPMD distribution / coarse-grid agglomeration).
     """
+    if transfers is None:
+        transfers = _standard_transfers(levels)
     coarsest = len(levels) - 1
     if level == coarsest:
-        return constrain(level, coarse_solve(hier.solver, b))
+        return constrain(level, transfers.solve_coarse(hier.solver, b, level))
 
     op = hier.operators[level]
     for _ in range(iterations_per_grid):
         x = smooth(op, x, b)
     r = resid(op, x, b)
 
-    child_centering = levels[level + 1].centering
-    rc = constrain(level + 1, restrict(r, child_centering))
+    rc = constrain(level + 1, transfers.restrict(r, level))
     ec = v_cycle(
         hier, levels, smooth, iterations_per_grid, jnp.zeros_like(rc), rc,
-        level + 1, constrain, resid,
+        level + 1, constrain, resid, transfers,
     )
-    x = constrain(level, x + prolong(ec, child_centering))
+    x = constrain(level, x + transfers.prolong(ec, level))
 
     for _ in range(iterations_per_grid):
         x = smooth(op, x, b)
@@ -251,24 +303,26 @@ def full_multigrid(
     level: int = 0,
     constrain=_no_constraint,
     resid=residual,
+    transfers: Transfers | None = None,
 ) -> jnp.ndarray:
     """Full multigrid initialization (reference FullMultiGrid, .hxx:300-338)."""
+    if transfers is None:
+        transfers = _standard_transfers(levels)
     coarsest = len(levels) - 1
     if level == coarsest:
         x = jnp.zeros_like(b)
         for _ in range(iterations_per_grid):
             x = v_cycle(hier, levels, smooth, iterations_per_grid, x, b, level,
-                        constrain, resid)
+                        constrain, resid, transfers)
         return x
 
-    child_centering = levels[level + 1].centering
-    bc = constrain(level + 1, restrict(b, child_centering))
+    bc = constrain(level + 1, transfers.restrict(b, level))
     xc = full_multigrid(hier, levels, smooth, iterations_per_grid, bc, level + 1,
-                        constrain, resid)
-    x = constrain(level, prolong(xc, child_centering))
+                        constrain, resid, transfers)
+    x = constrain(level, transfers.prolong(xc, level))
     for _ in range(iterations_per_grid):
         x = v_cycle(hier, levels, smooth, iterations_per_grid, x, b, level,
-                    constrain, resid)
+                    constrain, resid, transfers)
     return x
 
 
@@ -291,6 +345,7 @@ def _solve_time_step(
     constrain=_no_constraint,
     smooth=None,
     resid=None,
+    transfers: Transfers | None = None,
 ):
     """One implicit time step: iterate cycles until the relative L2 residual
     falls below tolerance or max_cycles is hit (do-while, .hxx:207-246)."""
@@ -303,7 +358,7 @@ def _solve_time_step(
         resid = make_residual(use_pallas=pallas_ok)
     if config.defect_dtype is not None:
         return _solve_time_step_defect(
-            hier, levels, config, b, constrain, smooth, resid
+            hier, levels, config, b, constrain, smooth, resid, transfers
         )
     op0 = hier.operators[0]
     dtype = b.dtype
@@ -314,7 +369,7 @@ def _solve_time_step(
     if config.cycle == FMG:
         x0 = full_multigrid(
             hier, levels, smooth, config.iterations_per_grid, b, 0, constrain,
-            resid,
+            resid, transfers,
         )
     else:
         x0 = b  # previous step's solution as initial guess (.hxx:180-201)
@@ -324,7 +379,7 @@ def _solve_time_step(
             return smooth(op0, x, b)
         return v_cycle(
             hier, levels, smooth, config.iterations_per_grid, x, b, 0,
-            constrain, resid,
+            constrain, resid, transfers,
         )
 
     def cond(carry):
@@ -361,6 +416,7 @@ def _solve_time_step_defect(
     constrain,
     smooth,
     resid,
+    transfers: Transfers | None = None,
 ):
     """Mixed-precision defect correction: ``x += cycle_lo(0, b - A x)``.
 
@@ -387,14 +443,14 @@ def _solve_time_step_defect(
         else:
             d = v_cycle(
                 hier_lo, levels, smooth, config.iterations_per_grid,
-                jnp.zeros_like(r_lo), r_lo, 0, constrain, resid,
+                jnp.zeros_like(r_lo), r_lo, 0, constrain, resid, transfers,
             )
         return d.astype(dtype)
 
     if config.cycle == FMG:
         x0 = full_multigrid(
             hier_lo, levels, smooth, config.iterations_per_grid,
-            constrain(0, b.astype(lo)), 0, constrain, resid,
+            constrain(0, b.astype(lo)), 0, constrain, resid, transfers,
         ).astype(dtype)
     else:
         x0 = b  # previous step's solution as initial guess (.hxx:180-201)
@@ -419,11 +475,11 @@ def _solve_time_step_defect(
 
 
 def _solve_all_steps(hier, levels, config, b, constrain=_no_constraint,
-                     smooth=None, resid=None):
+                     smooth=None, resid=None, transfers=None):
     hists, counts, finals = [], [], []
     for _ in range(config.number_of_steps):
         b, k, relres, hist = _solve_time_step(
-            hier, levels, config, b, constrain, smooth, resid
+            hier, levels, config, b, constrain, smooth, resid, transfers
         )
         hists.append(hist)
         counts.append(k)
@@ -436,15 +492,18 @@ def _solve_all_steps(hier, levels, config, b, constrain=_no_constraint,
     )
 
 
-def _make_constraint(mesh, levels: Tuple[GridLevel, ...], min_local: int):
+def _make_constraint(mesh, shapes: Tuple[Tuple[int, ...], ...],
+                     min_local: int):
     """Per-level sharding constraint: block-partition fine levels over the
-    mesh, replicate agglomerated coarse levels (see parallel.sharding)."""
+    mesh, replicate agglomerated coarse levels (see parallel.sharding).
+    ``shapes`` are the per-level array shapes (padded shapes on the
+    pad-to-divisible path)."""
     if mesh is None:
         return _no_constraint
     from ..parallel.sharding import field_sharding
 
     shardings = tuple(
-        field_sharding(mesh, lvl.shape, min_local) for lvl in levels
+        field_sharding(mesh, shape, min_local) for shape in shapes
     )
 
     def constrain(level, x):
@@ -453,7 +512,7 @@ def _make_constraint(mesh, levels: Tuple[GridLevel, ...], min_local: int):
     return constrain
 
 
-def _make_halo_ops(mesh, levels: Tuple[GridLevel, ...], min_local: int,
+def _make_halo_ops(mesh, shapes: Tuple[Tuple[int, ...], ...], min_local: int,
                    config: MADConfig):
     """Explicit shard_map halo-exchange smoother/residual (halo='shard_map' /
     'overlap'), dispatching the per-level PartitionSpec on array shape.
@@ -484,7 +543,7 @@ def _make_halo_ops(mesh, levels: Tuple[GridLevel, ...], min_local: int,
     # (if slow) on CPU meshes (tests, dryrun_multichip).
     interpret = jax.default_backend() != "tpu"
     specs = {
-        lvl.shape: level_spec(mesh, lvl.shape, min_local) for lvl in levels
+        shape: level_spec(mesh, shape, min_local) for shape in shapes
     }
 
     def _pallas_dispatch(op, x) -> bool:
@@ -540,6 +599,22 @@ def _compiled_hierarchy_builder(
     return jax.jit(build)
 
 
+def _padded_shapes(mesh, levels: Tuple[GridLevel, ...], min_local: int,
+                   config: MADConfig):
+    """Per-level array shapes on the explicit-halo path: mesh-divisible
+    embeddings when any axis needs padding (parallel.padding), else the true
+    level shapes.  Returns (shapes, padded: bool)."""
+    shapes = tuple(lvl.shape for lvl in levels)
+    if mesh is None or config.halo == "gspmd":
+        return shapes, False
+    from ..parallel.padding import padded_level_shape
+
+    pshapes = tuple(
+        padded_level_shape(mesh, lvl.shape, min_local) for lvl in levels
+    )
+    return pshapes, pshapes != shapes
+
+
 @functools.lru_cache(maxsize=32)
 def _compiled_solver(
     levels: Tuple[GridLevel, ...],
@@ -547,13 +622,18 @@ def _compiled_solver(
     mesh=None,
     min_local: int = 8,
 ):
-    constrain = _make_constraint(mesh, levels, min_local)
-    smooth = resid = None
+    shapes, padded = _padded_shapes(mesh, levels, min_local, config)
+    constrain = _make_constraint(mesh, shapes, min_local)
+    smooth = resid = transfers = None
     if mesh is not None and config.halo != "gspmd":
-        smooth, resid = _make_halo_ops(mesh, levels, min_local, config)
+        smooth, resid = _make_halo_ops(mesh, shapes, min_local, config)
+    if padded:
+        transfers = _padded_transfers(levels, shapes)
 
     def run(hier, b):
-        return _solve_all_steps(hier, levels, config, b, constrain, smooth, resid)
+        return _solve_all_steps(
+            hier, levels, config, b, constrain, smooth, resid, transfers
+        )
 
     return jax.jit(run)
 
@@ -607,6 +687,17 @@ def mad_diffusion(
     if mesh is not None:
         from ..parallel.sharding import shard_field, shard_hierarchy
 
+        shapes, padded = _padded_shapes(mesh, levels, min_local, config)
+        if padded:
+            # pad-to-divisible: embed every level in its mesh-divisible
+            # shape so the explicit-halo path fully shards odd volumes
+            # (parallel.padding; pad cells stay exactly zero)
+            from ..parallel.padding import crop_field, pad_hierarchy, pad_field
+
+            hierarchy = jax.jit(
+                functools.partial(pad_hierarchy, pshapes=shapes)
+            )(hierarchy)
+            b = jax.jit(functools.partial(pad_field, pshape=shapes[0]))(b)
         hierarchy = shard_hierarchy(hierarchy, levels, mesh, min_local)
         b = shard_field(b, mesh, min_local)
 
@@ -616,6 +707,9 @@ def mad_diffusion(
         levels, dataclasses.replace(config, verbose=False), mesh, min_local
     )
     result = solver(hierarchy, b)
+    if mesh is not None and padded:
+        out = jax.jit(functools.partial(crop_field, shape=shape))(result.output)
+        result = result._replace(output=out)
     if config.verbose:
         print_residual_trace(result, config)
     return result

@@ -126,11 +126,19 @@ def shard_hierarchy(hierarchy, levels: Tuple[GridLevel, ...], mesh: Mesh,
     from ..models.mad import Hierarchy
 
     ops = []
-    for lvl, op in zip(levels, hierarchy.operators):
-        sh = operator_sharding(mesh, lvl.shape, min_local)
-        # works for both stored StencilOperator and matrix-free operators:
-        # every pytree leaf is a full-resolution spatial plane
-        ops.append(jax.tree.map(lambda c: _reshard(c, sh), op))
+    for op in hierarchy.operators:
+        # works for stored / compressed / matrix-free operators: every pytree
+        # leaf is a full-resolution spatial plane (possibly padded to a
+        # mesh-divisible embedding, parallel.padding — hence the shape is
+        # read off the leaf, not the level descriptor)
+        ops.append(
+            jax.tree.map(
+                lambda c: _reshard(
+                    c, operator_sharding(mesh, tuple(c.shape), min_local)
+                ),
+                op,
+            )
+        )
     replicated = NamedSharding(mesh, PartitionSpec())
     solver = jax.tree.map(
         lambda a: _reshard(a, replicated), hierarchy.solver
