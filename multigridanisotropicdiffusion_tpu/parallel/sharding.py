@@ -75,6 +75,77 @@ def make_grid_mesh(
     return Mesh(dev_array, axis_names)
 
 
+def initialize_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Initialize the JAX distributed runtime for a multi-host pod slice.
+
+    Thin wrapper over ``jax.distributed.initialize`` (no-op when already
+    initialized or single-process): on Cloud TPU pods all three arguments are
+    auto-detected from the metadata server, so the 2-host launch is just
+
+        # on every host, same program:
+        initialize_multihost()              # or explicit coordinator/count/id
+        mesh = make_multihost_grid_mesh(3)  # DCN-major slab decomposition
+        res = mad_diffusion(vol, tensor, config=cfg, mesh=mesh)
+
+    Elsewhere pass ``coordinator_address='host0:port'``, ``num_processes``
+    and ``process_id`` explicitly (e.g. from SLURM/MPI ranks).  The solver
+    code is unchanged: global-view arrays + shardings; halo exchanges on the
+    host-boundary faces ride DCN, everything else ICI (see
+    :func:`make_multihost_grid_mesh`).
+    """
+    import jax._src.distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already initialized
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    if not kwargs and jax.process_count() == 1:
+        return  # single-process, nothing to do
+    jax.distributed.initialize(**kwargs)
+
+
+def make_multihost_grid_mesh(
+    ndim: int,
+    allow_split_physical_axes: bool = False,
+) -> Mesh:
+    """Spatial mesh for a multi-host pod: DCN-major slab decomposition.
+
+    Hosts partition the FIRST spatial axis ('x'): each host owns a contiguous
+    slab, so exactly one halo face pair per host boundary crosses DCN; all
+    other halo traffic (and the within-slab partitioning over the remaining
+    axes) rides ICI.  Built with ``mesh_utils.create_hybrid_device_mesh`` so
+    device order respects physical ICI topology within each host and DCN
+    connectivity across hosts — the layout BASELINE.md's ">=80% weak scaling
+    at 2 hosts" target assumes (per-host work fixed, one extra DCN face).
+
+    Single-process: equivalent to :func:`make_grid_mesh`.
+    """
+    n_proc = jax.process_count()
+    local = jax.local_device_count()
+    if n_proc == 1:
+        return make_grid_mesh(ndim)
+    from jax.experimental import mesh_utils
+
+    ici_shape = factorize_devices(local, ndim)
+    dcn_shape = (n_proc,) + (1,) * (ndim - 1)
+    dev_array = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=ici_shape,
+        dcn_mesh_shape=dcn_shape,
+        allow_split_physical_axes=allow_split_physical_axes,
+    )
+    axis_names = ("x", "y", "z")[:ndim]
+    return Mesh(dev_array, axis_names)
+
+
 def level_spec(
     mesh: Mesh, shape: Tuple[int, ...], min_local: int = DEFAULT_MIN_LOCAL
 ) -> PartitionSpec:

@@ -96,3 +96,31 @@ def test_galerkin_fmg_3d(rng):
     )
     res = mad_diffusion(image, tensor, spacing=(1.0, 0.5, 2.0), config=cfg)
     assert float(res.final_residual[0]) <= 1e-10
+
+
+def test_galerkin_deep_chain_matches_dense_rap(rng):
+    """Chained coarsenings with mixed centering: a vertex coarsening of a
+    radius-2 Galerkin operator genuinely has radius 2 — assuming radius 1
+    aliases offset -2 onto +1 modulo 3 (regression: r1 shipped that bug; max
+    dense error was ~5e-3 at level 2 of a 22 -> 11(cell) -> 6(vertex) chain)."""
+    from multigridanisotropicdiffusion_tpu.core.grids import (
+        build_level_descriptors,
+    )
+    from multigridanisotropicdiffusion_tpu.core.symfield import as_sym_planes
+
+    shape = (22, 22)
+    levels = build_level_descriptors(shape, (1.0, 1.0))
+    assert [l.centering for l in levels][1:] == [(CELL, CELL), (VERTEX, VERTEX)]
+    tensor = make_spd_tensor_field(rng, shape, 2, hi=3.0)
+    a0 = assemble_dca(as_sym_planes(tensor, shape), (1.0, 1.0), 0.1)
+
+    a1 = assemble_galerkin(a0, levels[1].centering)
+    r1, p1 = _dense_transfer(shape, levels[1].centering)
+    want1 = r1 @ np.asarray(densify(a0)) @ p1
+    np.testing.assert_allclose(np.asarray(densify(a1)), want1, rtol=1e-11, atol=1e-12)
+
+    a2 = assemble_galerkin(a1, levels[2].centering)
+    assert a2.radius == 2
+    r2, p2 = _dense_transfer(levels[1].shape, levels[2].centering)
+    want2 = r2 @ want1 @ p2
+    np.testing.assert_allclose(np.asarray(densify(a2)), want2, rtol=1e-11, atol=1e-12)

@@ -178,3 +178,18 @@ def test_distributed_pallas_fast_path_matches_single(rng, cycle):
     np.testing.assert_allclose(
         np.asarray(got.output), np.asarray(ref.output), rtol=1e-8, atol=1e-8
     )
+
+
+def test_multihost_entry_points_single_process():
+    """Multi-host entry points degrade gracefully in a single process:
+    initialize is a no-op, the mesh equals the plain spatial mesh (the
+    2-host DCN-major launch protocol is documented on the functions)."""
+    from multigridanisotropicdiffusion_tpu.parallel.sharding import (
+        initialize_multihost,
+        make_multihost_grid_mesh,
+    )
+
+    initialize_multihost()  # no-op single-process
+    mesh = make_multihost_grid_mesh(3)
+    assert mesh.axis_names == ("x", "y", "z")
+    assert int(np.prod(tuple(mesh.shape.values()))) == len(jax.devices())
