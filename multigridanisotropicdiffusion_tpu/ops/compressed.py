@@ -89,6 +89,15 @@ class CompressedDCAOperator:
         return self.diag_plane.dtype
 
     @property
+    def offsets(self):
+        """Structural offset table (the standard 19/9-point DCA pattern) —
+        lets representation-agnostic consumers (e.g. Galerkin probing) treat
+        the compressed form like a stored operator."""
+        from ..core.stencil import stencil_offsets
+
+        return stencil_offsets(self._ndim)
+
+    @property
     def diag(self) -> jnp.ndarray:
         return self.diag_plane
 

@@ -83,6 +83,15 @@ class MatrixFreeDCAOperator:
         return sym_component(self.tensor, self.ndim, d, d2)
 
     @property
+    def offsets(self):
+        """Structural offset table (the standard 19/9-point DCA pattern) —
+        lets representation-agnostic consumers (e.g. Galerkin probing) treat
+        the matrix-free form like a stored operator."""
+        from ..core.stencil import stencil_offsets
+
+        return stencil_offsets(self.ndim)
+
+    @property
     def diag(self) -> jnp.ndarray:
         dt = self.time_step
         out = None
