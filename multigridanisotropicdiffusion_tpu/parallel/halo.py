@@ -89,22 +89,46 @@ def _offdiag_terms(op):
     )
 
 
-def _exchange_halos(x_local: jnp.ndarray, mesh: Mesh, spec: PartitionSpec):
-    """Pad the local block by 1 in every dimension: neighbor faces via
-    ppermute along sharded axes, zeros at global-domain borders."""
+def _op_radii(op) -> Tuple[int, ...]:
+    """Per-dim stencil radius (static): 1 for the compressed DCA form, the
+    max |offset| per dim for a stored operator (Galerkin coarse operators
+    reach radius 2 under cell centering — the halo thickness must follow)."""
+    if isinstance(op, CompressedDCAOperator):
+        return (1,) * op.ndim
+    return tuple(
+        max(abs(off[d]) for off in op.offsets) for d in range(op.ndim)
+    )
+
+
+def _exchange_halos(
+    x_local: jnp.ndarray, mesh: Mesh, spec: PartitionSpec,
+    radii: Tuple[int, ...] = None,
+):
+    """Pad the local block by the stencil radius in every dimension:
+    ``radii[d]``-thick neighbor faces via ppermute along sharded axes, zeros
+    at global-domain borders.  Requires each sharded local dim >= its radius
+    (one-hop exchange; guaranteed by ``min_local`` >= max radius)."""
     ndim = x_local.ndim
+    if radii is None:
+        radii = (1,) * ndim
     for d in range(ndim):
+        r = radii[d]
         axis_name = spec[d] if d < len(spec) else None
         if axis_name is None:
             pad = [(0, 0)] * ndim
-            pad[d] = (1, 1)
+            pad[d] = (r, r)
             x_local = jnp.pad(x_local, pad)
             continue
+        if x_local.shape[d] < r:  # pragma: no cover - guarded by min_local
+            raise ValueError(
+                f"local block dim {d} ({x_local.shape[d]}) smaller than the "
+                f"stencil radius {r}: raise min_local"
+            )
         n = mesh.shape[axis_name]
         idx_lo = [slice(None)] * ndim
-        idx_lo[d] = slice(0, 1)
+        idx_lo[d] = slice(0, r)
         idx_hi = [slice(None)] * ndim
-        idx_hi[d] = slice(x_local.shape[d] - 1, x_local.shape[d])
+        idx_hi[d] = slice(x_local.shape[d] - r, x_local.shape[d])
         # halo from the left neighbor = its last face, shifted rightwards
         halo_lo = lax.ppermute(
             x_local[tuple(idx_hi)], axis_name,
@@ -118,12 +142,18 @@ def _exchange_halos(x_local: jnp.ndarray, mesh: Mesh, spec: PartitionSpec):
     return x_local
 
 
-def _local_offdiag(op_local, x_pad: jnp.ndarray) -> jnp.ndarray:
+def _local_offdiag(
+    op_local, x_pad: jnp.ndarray, radii: Tuple[int, ...] = None
+) -> jnp.ndarray:
     """Off-diagonal stencil contraction on a halo-padded local block."""
     shape = op_local.shape
+    if radii is None:
+        radii = (1,) * len(shape)
     out = None
     for off, plane, sign in _offdiag_terms(op_local):
-        sl = tuple(slice(1 + o, 1 + o + s) for o, s in zip(off, shape))
+        sl = tuple(
+            slice(r + o, r + o + s) for r, o, s in zip(radii, off, shape)
+        )
         term = (sign * plane) * x_pad[sl] if sign != 1.0 else plane * x_pad[sl]
         out = term if out is None else out + term
     return out
@@ -139,29 +169,34 @@ def _sharded_dims(mesh: Mesh, spec: PartitionSpec, ndim: int):
     return tuple(out)
 
 
-def _slab_slice(shape, d: int, lo: bool):
-    pos = 0 if lo else shape[d] - 1
+def _slab_slice(shape, d: int, lo: bool, t: int = 1):
+    """Slice of the ``t``-thick boundary slab of dim ``d`` + its start pos."""
+    pos = 0 if lo else shape[d] - t
     return tuple(
-        slice(pos, pos + 1) if dd == d else slice(None)
+        slice(pos, pos + t) if dd == d else slice(None)
         for dd in range(len(shape))
     ), pos
 
 
 def _local_offdiag_slab(
-    op_local, x_pad: jnp.ndarray, d: int, lo: bool
+    op_local, x_pad: jnp.ndarray, d: int, lo: bool,
+    radii: Tuple[int, ...] = None,
 ) -> jnp.ndarray:
-    """Off-diagonal contraction for the 1-thick boundary slab of dim ``d``
-    (low or high side), read from the *fully halo-padded* local block — the
-    complete, correct value for those cells (including corner terms that
-    reference halos of other dimensions)."""
+    """Off-diagonal contraction for the ``radii[d]``-thick boundary slab of
+    dim ``d`` (low or high side), read from the *fully halo-padded* local
+    block — the complete, correct value for those cells (including corner
+    terms that reference halos of other dimensions)."""
     shape = op_local.shape
-    coeff_sl, pos = _slab_slice(shape, d, lo)
+    if radii is None:
+        radii = (1,) * len(shape)
+    t = radii[d]
+    coeff_sl, pos = _slab_slice(shape, d, lo, t)
     out = None
     for off, plane, sign in _offdiag_terms(op_local):
         sl = tuple(
-            slice(1 + pos + o, 2 + pos + o)
+            slice(radii[dd] + pos + o, radii[dd] + pos + t + o)
             if dd == d
-            else slice(1 + o, 1 + o + s)
+            else slice(radii[dd] + o, radii[dd] + o + s)
             for dd, (o, s) in enumerate(zip(off, shape))
         )
         term = sign * plane[coeff_sl] * x_pad[sl]
@@ -180,23 +215,32 @@ def _offdiag_exchange(
 
     ``overlap=False``: exchange first, then one contraction over the padded
     block (compute waits on communication).  ``overlap=True``: contract
-    against zero halos immediately (correct everywhere except the boundary
-    slabs of device-sharded dims, since unsharded/global borders have
-    exactly-zero folded coefficients), then recompute just those slabs from
-    the received halos and splice them in.
+    against zero halos immediately (correct everywhere except the radius-thick
+    boundary slabs of device-sharded dims, since unsharded/global borders have
+    exactly-zero folded coefficients — true for DCA *and* Galerkin operators,
+    whose out-of-domain couplings receive no comb-point contribution), then
+    recompute just those slabs from the received halos and splice them in.
+
+    The halo thickness follows the operator's per-dim stencil radius
+    (:func:`_op_radii`): 1 on DCA levels, 2 on cell-centered Galerkin levels.
     """
     ndim = x_l.ndim
+    radii = _op_radii(op_local)
     if not overlap:
-        return _local_offdiag(op_local, _exchange_halos(x_l, mesh, spec))
+        return _local_offdiag(
+            op_local, _exchange_halos(x_l, mesh, spec, radii), radii
+        )
 
     # interior compute: zero halos, no collective in the dependency chain
-    off = _local_offdiag(op_local, jnp.pad(x_l, 1))
-    x_pad = _exchange_halos(x_l, mesh, spec)
+    off = _local_offdiag(
+        op_local, jnp.pad(x_l, [(r, r) for r in radii]), radii
+    )
+    x_pad = _exchange_halos(x_l, mesh, spec, radii)
     for d in _sharded_dims(mesh, spec, ndim):
         for lo in (True, False):
-            slab = _local_offdiag_slab(op_local, x_pad, d, lo)
+            slab = _local_offdiag_slab(op_local, x_pad, d, lo, radii)
             start = [0] * ndim
-            start[d] = 0 if lo else x_l.shape[d] - 1
+            start[d] = 0 if lo else x_l.shape[d] - radii[d]
             off = lax.dynamic_update_slice(off, slab, tuple(start))
     return off
 

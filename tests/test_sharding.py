@@ -6,6 +6,8 @@ halo-exchange correctness check — XLA's SPMD partitioner inserts the halos for
 the shifted-slice stencils, and any mismatch would corrupt boundary voxels.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -102,6 +104,32 @@ def test_halo_mode_solve_matches_single_device(rng, halo, cycle, smoother):
         smoother=smoother, halo=halo,
     )
     got = mad_diffusion(image, tensor, config=cfg_halo, mesh=mesh, min_local=4)
+
+    assert int(got.num_cycles[0]) == int(ref.num_cycles[0])
+    np.testing.assert_allclose(
+        np.asarray(got.output), np.asarray(ref.output), rtol=1e-11, atol=1e-11
+    )
+
+
+@needs_8_devices
+@pytest.mark.parametrize("halo", ["shard_map", "overlap"])
+def test_halo_galerkin_radius2_matches_single_device(rng, halo):
+    """Galerkin coarse operators reach stencil radius 2 under cell centering;
+    the explicit-halo path must exchange radius-thick halos on those levels
+    (regression: 1-voxel halos broke the 32^3 three-level hierarchy, whose
+    middle 16^3 level is a radius-2 Galerkin operator under smoothing)."""
+    shape = (32, 32, 32)
+    tensor = make_spd_tensor_field(rng, shape, 3, hi=3.0)
+    image = rng.normal(size=shape) * 10.0
+    base = MADConfig(
+        time_step=0.05, tolerance=1e-8, max_cycles=30,
+        coarse_operator="galerkin",
+    )
+    ref = mad_diffusion(image, tensor, config=base)
+
+    mesh = make_grid_mesh(3, mesh_shape=(2, 2, 2))
+    cfg = dataclasses.replace(base, halo=halo)
+    got = mad_diffusion(image, tensor, config=cfg, mesh=mesh, min_local=4)
 
     assert int(got.num_cycles[0]) == int(ref.num_cycles[0])
     np.testing.assert_allclose(
