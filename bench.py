@@ -281,12 +281,17 @@ def _run_solve(n: int) -> dict:
         operator_repr="compressed", use_pallas=True,
     )
 
-    t0 = time.perf_counter()
-    hier = _compiled_hierarchy_builder(
+    builder = _compiled_hierarchy_builder(
         levels, config.time_step, "dca", "compressed"
-    )(tensor)
+    )
+    t0 = time.perf_counter()
+    hier = builder(tensor)
     jax.block_until_ready(hier.operators[0].diag_plane)
-    setup_s = time.perf_counter() - t0
+    setup_s = time.perf_counter() - t0  # compile + first run
+    t0 = time.perf_counter()
+    hier = builder(tensor)
+    jax.block_until_ready(hier.operators[0].diag_plane)
+    setup_warm_s = time.perf_counter() - t0
     del tensor
 
     solver = _compiled_solver(levels, config)
@@ -301,6 +306,7 @@ def _run_solve(n: int) -> dict:
     solve_s, res = min((run_once() for _ in range(2)), key=lambda t: t[0])
     out = {
         "setup_s": setup_s,
+        "setup_warm_s": setup_warm_s,
         "vcycle_solve_to_1e-6_s": solve_s,
         "vcycle_cycles": int(res.num_cycles[0]),
         "final_relres": float(res.final_residual[0]),
@@ -314,12 +320,19 @@ def _run_solve(n: int) -> dict:
         time_step=0.1, tolerance=1e-6, max_cycles=50,
         operator_repr="compressed", use_pallas=True, coarse_operator="galerkin",
     )
-    t0 = time.perf_counter()
-    hier = _compiled_hierarchy_builder(
+    builder_g = _compiled_hierarchy_builder(
         levels, cfg_g.time_step, "galerkin", "compressed"
-    )(tensor2 := make_inputs(jax.random.PRNGKey(0))[0])
+    )
+    tensor2 = make_inputs(jax.random.PRNGKey(0))[0]
+    t0 = time.perf_counter()
+    hier = builder_g(tensor2)
     jax.block_until_ready(jax.tree.leaves(hier)[0])
-    out["galerkin_setup_s"] = time.perf_counter() - t0
+    out["galerkin_setup_s"] = time.perf_counter() - t0  # compile + first run
+    hier = None
+    t0 = time.perf_counter()
+    hier = builder_g(tensor2)
+    jax.block_until_ready(jax.tree.leaves(hier)[0])
+    out["galerkin_setup_warm_s"] = time.perf_counter() - t0
     tensor2 = None
     solver_g = _compiled_solver(levels, cfg_g)
 

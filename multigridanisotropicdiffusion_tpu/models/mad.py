@@ -39,7 +39,7 @@ from ..core.symfield import as_sym_planes
 from ..core.stencil import StencilOperator, l2_norm, residual
 from ..ops.coarse import CoarseSolver, build_coarse_solver, coarse_solve
 from ..ops.dca import assemble_dca
-from ..ops.galerkin import assemble_galerkin
+from ..ops.galerkin import assemble_galerkin_parabolic
 from ..ops.smoothers import DEFAULT_JACOBI_WEIGHT, make_residual, make_smoother
 from ..ops.transfer import prolong, restrict, restrict_tensor
 
@@ -181,8 +181,12 @@ def build_hierarchy(
 
     ops = [make_op(tensor, levels[0])]
     if coarse_operator == GALERKIN:
+        # A_c = I - R (I - A_f) P: Galerkin dt*L + exact time-stepping
+        # identity per level.  The literal R A P of the full operator loses
+        # diagonal dominance down deep chains and makes colored smoothers
+        # diverge (see ops.galerkin.assemble_galerkin_parabolic).
         for lvl in levels[1:]:
-            ops.append(assemble_galerkin(ops[-1], lvl.centering))
+            ops.append(assemble_galerkin_parabolic(ops[-1], lvl.centering))
         coarsest_stored = ops[-1]
         if not isinstance(coarsest_stored, StencilOperator):
             coarsest_stored = assemble_dca(tensor, levels[-1].spacing, time_step)

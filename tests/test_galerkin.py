@@ -68,6 +68,73 @@ def test_galerkin_matches_dense_rap(rng, shape, centering):
     np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-12)
 
 
+@pytest.mark.parametrize(
+    "shape,centering",
+    [
+        ((8, 8), (CELL, CELL)),
+        ((8, 9, 8), (CELL, VERTEX, CELL)),
+    ],
+)
+def test_galerkin_parabolic_matches_dense(rng, shape, centering):
+    """A_c = I - R (I - A_f) P — the implicit-Euler hierarchy form (exact
+    identity + Galerkin dt*L)."""
+    from multigridanisotropicdiffusion_tpu.core.symfield import as_sym_planes
+    from multigridanisotropicdiffusion_tpu.ops.galerkin import (
+        assemble_galerkin_parabolic,
+    )
+
+    ndim = len(shape)
+    tensor = make_spd_tensor_field(rng, shape, ndim, hi=3.0)
+    fine_op = assemble_dca(as_sym_planes(tensor, shape), (1.0,) * ndim, 0.1)
+
+    got = np.asarray(densify(assemble_galerkin_parabolic(fine_op, centering)))
+    r, p = _dense_transfer(shape, centering)
+    a = np.asarray(densify(fine_op))
+    want = np.eye(r.shape[0]) - r @ (np.eye(a.shape[0]) - a) @ p
+    np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-12)
+
+
+def test_galerkin_hierarchy_stays_diagonally_dominant(rng):
+    """Deep-chain regression: the literal R A P of A = I - dt*L reaches
+    sum|offdiag|/diag ~ 4-5 by the 5th coarsening and red-black GS DIVERGES
+    on those levels (~2.5x residual growth per sweep; the 256^3/192^3 f32
+    six-level solves blew up to relres=inf).  The parabolic form keeps every
+    level's off-diagonal mass bounded by its dt*L part, so smoothing stays
+    contractive on the whole chain."""
+    from multigridanisotropicdiffusion_tpu.core.grids import (
+        build_level_descriptors,
+    )
+    from multigridanisotropicdiffusion_tpu.core.symfield import as_sym_planes
+    from multigridanisotropicdiffusion_tpu.models.mad import build_hierarchy
+    from multigridanisotropicdiffusion_tpu.ops.smoothers import (
+        rb_gauss_seidel_sweep,
+    )
+
+    shape = (192, 192)  # six levels: 192 96 48 24 12 6 (2D keeps it cheap)
+    levels = build_level_descriptors(shape, (1.0, 1.0))
+    assert len(levels) == 6
+    tensor = make_spd_tensor_field(rng, shape, 2, hi=3.0)
+    hier = build_hierarchy(
+        as_sym_planes(tensor, shape), levels, 0.1, coarse_operator="galerkin"
+    )
+    for lvl, op in enumerate(hier.operators[1:], start=1):
+        absrow = sum(
+            np.abs(np.asarray(op.coeffs[k]))
+            for k, off in enumerate(op.offsets)
+            if any(o != 0 for o in off)
+        )
+        dom = absrow / np.asarray(op.diag)
+        assert dom.max() < 1.5, (lvl, dom.max())
+        # smoother-only iteration contracts on every level
+        b = jnp.asarray(rng.normal(size=op.shape))
+        x = jnp.zeros_like(b)
+        r0 = float(jnp.linalg.norm(b - op.apply(x)))
+        for _ in range(4):
+            x = rb_gauss_seidel_sweep(op, x, b)
+        r4 = float(jnp.linalg.norm(b - op.apply(x)))
+        assert r4 < 0.8 * r0, (lvl, r4 / r0)
+
+
 def test_galerkin_solver_converges(rng):
     """End-to-end MAD with Galerkin coarse operators: converges to the same
     fine-grid solution as the DCA hierarchy (the fine operator is identical;
