@@ -281,16 +281,22 @@ def _run_solve(n: int) -> dict:
         operator_repr="compressed", use_pallas=True,
     )
 
+    def force(tree):
+        """Force completion with a 1-element host transfer
+        (block_until_ready is unreliable through the remote tunnel)."""
+        leaf = jax.tree.leaves(tree)[0]
+        return float(np.asarray(leaf.ravel()[0]))
+
     builder = _compiled_hierarchy_builder(
         levels, config.time_step, "dca", "compressed"
     )
     t0 = time.perf_counter()
     hier = builder(tensor)
-    jax.block_until_ready(hier.operators[0].diag_plane)
+    force(hier)
     setup_s = time.perf_counter() - t0  # compile + first run
     t0 = time.perf_counter()
     hier = builder(tensor)
-    jax.block_until_ready(hier.operators[0].diag_plane)
+    force(hier)
     setup_warm_s = time.perf_counter() - t0
     del tensor
 
@@ -326,12 +332,12 @@ def _run_solve(n: int) -> dict:
     tensor2 = make_inputs(jax.random.PRNGKey(0))[0]
     t0 = time.perf_counter()
     hier = builder_g(tensor2)
-    jax.block_until_ready(jax.tree.leaves(hier)[0])
+    force(hier)
     out["galerkin_setup_s"] = time.perf_counter() - t0  # compile + first run
     hier = None
     t0 = time.perf_counter()
     hier = builder_g(tensor2)
-    jax.block_until_ready(jax.tree.leaves(hier)[0])
+    force(hier)
     out["galerkin_setup_warm_s"] = time.perf_counter() - t0
     tensor2 = None
     solver_g = _compiled_solver(levels, cfg_g)
