@@ -82,6 +82,15 @@ class VEDConfig:
     #: 'smooth_fd' (smooth once + central differences, ~3x fewer conv
     #: passes; see ops.hessian).
     hessian_mode: str = "gaussian_derivative"
+    #: storage dtype for the vesselness pipeline's streamed fields (e.g.
+    #: 'bfloat16' halves the conv/eig/select HBM traffic — the dominant
+    #: pipeline cost).  Tap accumulation, finite differences, eigensolves,
+    #: vesselness, and the final tensor assembly always run in float32;
+    #: only the streamed volumes (smoothed fields, Hessian planes) are
+    #: stored low-precision.  None = the solve dtype.  The diffusion solve
+    #: itself is unaffected (its precision is set by ``defect_dtype`` /
+    #: the ``dtype`` argument).
+    pipeline_dtype: str | None = None
 
     @classmethod
     def tpu(cls, mixed_precision: bool = True, **kw) -> "VEDConfig":
@@ -215,6 +224,7 @@ def fused_vesselness_tensor(
     sensitivity: float,
     z_slab: int | None = None,
     hessian_mode: str = "gaussian_derivative",
+    pipeline_dtype=None,
 ):
     """Vesselness response and diffusion tensor in one pass over scales.
 
@@ -235,6 +245,8 @@ def fused_vesselness_tensor(
     (edge-replicated at the domain borders) and every z convolution runs in
     valid mode, so the result is identical to the untiled path.
     """
+    if pipeline_dtype is not None:
+        u = u.astype(jnp.dtype(pipeline_dtype))
     if z_slab is None or z_slab >= u.shape[0]:
         return _fused_scales(
             u, scales, spacing, alpha, beta, gamma, epsilon, omega,
@@ -270,12 +282,25 @@ def _fused_scales(
     u, scales, spacing, alpha, beta, gamma, epsilon, omega, sensitivity,
     z_valid_radius, hessian_mode="gaussian_derivative",
 ):
+    # Low-precision pipelines store the streamed volumes (smoothed fields,
+    # Hessian planes, running best) in the field dtype but run all the
+    # elementwise math (eigensolves, vesselness, tensor assembly) in f32 —
+    # the upcasts fuse into their consumers, so storage traffic stays low.
+    math_dtype = (
+        jnp.float32 if u.dtype == jnp.bfloat16 else u.dtype
+    )
+
+    def up(planes):
+        if planes[0].dtype == math_dtype:
+            return planes
+        return tuple(p.astype(math_dtype) for p in planes)
+
     best_resp = None
     best_h = None
     for sigma in scales:
         h = hessian(u, sigma, spacing, normalize_across_scale=True,
                     z_valid_radius=z_valid_radius, mode=hessian_mode)
-        w, _ = eigh3(h, compute_vectors=False)
+        w, _ = eigh3(up(h), compute_vectors=False)
         resp = vesselness_measure(sort_by_abs3(w), alpha, beta, gamma)
         if best_resp is None:
             # first scale always initializes the running maximum (.hxx:272)
@@ -288,7 +313,7 @@ def _fused_scales(
             )
     # Eigenvectors + tensor once, on the per-voxel winning Hessian: eigh3 is
     # elementwise, so eigh3(select(h)) == select(eigh3(h)) bitwise.
-    _, q = eigh3(best_h)
+    _, q = eigh3(up(best_h))
     best_t = generate_diffusion_tensor(best_resp, q, epsilon, omega, sensitivity)
     return best_resp, best_t
 
@@ -336,11 +361,12 @@ def _compiled_vesselness_pipeline(
     sensitivity: float,
     z_slab: int | None = None,
     hessian_mode: str = "gaussian_derivative",
+    pipeline_dtype: str | None = None,
 ):
     def pipeline(u):
         return fused_vesselness_tensor(
             u, scales, spacing, alpha, beta, gamma, epsilon, omega,
-            sensitivity, z_slab, hessian_mode,
+            sensitivity, z_slab, hessian_mode, pipeline_dtype,
         )
 
     return jax.jit(pipeline)
@@ -395,6 +421,7 @@ def ved(
         config.sensitivity,
         z_slab,
         config.hessian_mode,
+        config.pipeline_dtype,
     )
     mad_cfg = config.mad_config()
 

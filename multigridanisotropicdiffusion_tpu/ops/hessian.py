@@ -80,16 +80,21 @@ def _conv_axis(
         pad[axis] = (radius, radius)
         up = jnp.pad(u, pad, mode="edge")
         n = u.shape[axis]
+    # Low-precision (bf16) fields: stream in the storage dtype but
+    # accumulate the taps in f32, rounding once per pass (the HBM saving
+    # comes from bf16 storage; tap accumulation in bf16 would lose ~2
+    # digits over a 17-tap kernel).
+    acc_dtype = jnp.float32 if u.dtype == jnp.bfloat16 else u.dtype
     out = None
-    k = jnp.asarray(kernel, u.dtype)
+    k = np.asarray(kernel, np.float64)
     for j in range(len(kernel)):
         if kernel[j] == 0.0:  # zero-padded taps (tiled mode) cost nothing
             continue
         sl = [slice(None)] * u.ndim
         sl[axis] = slice(j, j + n)
-        term = k[j] * up[tuple(sl)]
+        term = jnp.asarray(k[j], acc_dtype) * up[tuple(sl)].astype(acc_dtype)
         out = term if out is None else out + term
-    return out
+    return out.astype(u.dtype)
 
 
 def kernel_radius(sigma: float, spacing: float, max_radius: int = 64) -> int:
@@ -231,11 +236,13 @@ def _hessian_smooth_fd(
         for d in range(ndim)
     )
 
+    fd_dtype = jnp.float32 if us.dtype == jnp.bfloat16 else us.dtype
+
     def sh(off):
         sl = tuple(
             slice(1 + o, 1 + o + s) for o, s in zip(off, out_shape)
         )
-        return up[sl]
+        return up[sl].astype(fd_dtype)
 
     zero = (0,) * ndim
 
@@ -267,4 +274,6 @@ def _hessian_smooth_fd(
                 )
                 * (norm / hij4)
             )
-    return tuple(planes)
+    # Hessian planes stay in the field's storage dtype (bf16 pipelines keep
+    # their HBM saving; the FD arithmetic above ran in f32).
+    return tuple(p.astype(us.dtype) for p in planes)
