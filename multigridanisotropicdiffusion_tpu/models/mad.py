@@ -65,6 +65,17 @@ class MADConfig:
     smoother: str = "gauss_seidel"
     jacobi_weight: float = DEFAULT_JACOBI_WEIGHT
     coarse_operator: str = DCA
+    #: Galerkin coarse-operator variant (coarse_operator='galerkin' only):
+    #:   'exact'     — the full R (I - A_f) P product (radius grows to 2
+    #:                 under cell centering: up to 117/125 coefficient
+    #:                 planes per coarse level);
+    #:   'collapsed' — each level's coarsened dt*L is lumped onto radius-1
+    #:                 support with exact row sums (ops.galerkin.
+    #:                 collapse_to_radius1) before re-adding the identity:
+    #:                 27 planes per level, 1-voxel halos, Pallas-eligible
+    #:                 sweeps — the production fast path.  Convergence parity
+    #:                 with 'exact' is regression-tested.
+    galerkin_variant: str = "exact"
     #: DCA operator representation per level (coarse_operator='galerkin'
     #: levels are always stored):
     #:   'stored'      — K coefficient planes (19 in 3D), the general form;
@@ -116,6 +127,10 @@ class MADConfig:
             raise ValueError(f"unknown cycle type: {self.cycle!r}")
         if self.coarse_operator not in (DCA, GALERKIN):
             raise ValueError(f"unknown coarse operator: {self.coarse_operator!r}")
+        if self.galerkin_variant not in ("exact", "collapsed"):
+            raise ValueError(
+                f"unknown galerkin_variant: {self.galerkin_variant!r}"
+            )
         if self.operator_repr not in ("stored", "compressed", "matrix_free"):
             raise ValueError(f"unknown operator_repr: {self.operator_repr!r}")
         if self.halo not in ("gspmd", "shard_map", "overlap"):
@@ -156,6 +171,7 @@ def build_hierarchy(
     time_step: float,
     coarse_operator: str = DCA,
     operator_repr: str = "stored",
+    galerkin_variant: str = "exact",
 ) -> Hierarchy:
     """Assemble the per-level operators (setup phase — runs once per tensor).
 
@@ -185,8 +201,13 @@ def build_hierarchy(
         # identity per level.  The literal R A P of the full operator loses
         # diagonal dominance down deep chains and makes colored smoothers
         # diverge (see ops.galerkin.assemble_galerkin_parabolic).
+        collapse = galerkin_variant == "collapsed"
         for lvl in levels[1:]:
-            ops.append(assemble_galerkin_parabolic(ops[-1], lvl.centering))
+            ops.append(
+                assemble_galerkin_parabolic(
+                    ops[-1], lvl.centering, collapse=collapse
+                )
+            )
         coarsest_stored = ops[-1]
         if not isinstance(coarsest_stored, StencilOperator):
             coarsest_stored = assemble_dca(tensor, levels[-1].spacing, time_step)
@@ -591,13 +612,15 @@ def _compiled_hierarchy_builder(
     time_step: float,
     coarse_operator: str,
     operator_repr: str = "stored",
+    galerkin_variant: str = "exact",
 ):
     """Jitted setup: tensor -> Hierarchy (DCA assembly at every level, tensor
     restriction chain, dense coarsest LU) as one compiled program."""
 
     def build(tensor):
         return build_hierarchy(
-            tensor, levels, time_step, coarse_operator, operator_repr
+            tensor, levels, time_step, coarse_operator, operator_repr,
+            galerkin_variant,
         )
 
     return jax.jit(build)
@@ -684,7 +707,7 @@ def mad_diffusion(
     if hierarchy is None:
         builder = _compiled_hierarchy_builder(
             levels, config.time_step, config.coarse_operator,
-            config.effective_operator_repr,
+            config.effective_operator_repr, config.galerkin_variant,
         )
         hierarchy = builder(tuple(jnp.asarray(p, dtype) for p in tensor))
 

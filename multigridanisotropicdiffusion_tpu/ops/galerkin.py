@@ -46,12 +46,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.grids import CELL
-from ..core.stencil import StencilOperator
+from ..core.stencil import StencilOperator, stencil_offsets
 from ..ops.transfer import coarse_size, prolong, restrict
 
 #: probes per vmapped batch: bounds peak memory at batch * fine-volume
 #: while amortizing the fine-plane HBM reads across the batch.
 PROBE_BATCH = 16
+
+#: fine grids at or above this voxel count use the closed-form direct
+#: assembly (ops.galerkin_direct) under method='auto': probing costs
+#: prod(2r+1) full fine-grid applies and dominates setup at scale, while the
+#: direct path is O(K) strided plane contractions; below the threshold the
+#: compact probe program compiles faster and runtime is negligible.
+DIRECT_MIN_FINE_VOXELS = 1 << 21
 
 
 def galerkin_offsets(centering: Sequence[str], fine_radii: Sequence[int]):
@@ -110,10 +117,96 @@ class _SpatialPart:
         return v - self._op.apply(v)
 
 
+def stored_plane_terms(op):
+    """``(offsets, planes)`` with one materialized coefficient plane per
+    offset, for any operator with a plane form (stored, compressed, or the
+    spatial-part view).  Raises TypeError for matrix-free operators (direct
+    Galerkin assembly needs planes; callers fall back to probing)."""
+    from .compressed import CompressedDCAOperator
+
+    if isinstance(op, StencilOperator):
+        return op.offsets, op.coeffs
+    if isinstance(op, _SpatialPart):
+        offsets, planes = stored_plane_terms(op._op)
+        center = offsets.index((0,) * len(offsets[0]))
+        out = [-p for p in planes]
+        out[center] = 1.0 + out[center]
+        return offsets, tuple(out)
+    if isinstance(op, CompressedDCAOperator):
+        ndim = op.ndim
+        terms = {(0,) * ndim: op.diag_plane}
+        for d in range(ndim):
+            e = [0] * ndim
+            e[d] = 1
+            terms[tuple(e)] = op.face_p[d]
+            e[d] = -1
+            terms[tuple(e)] = op.face_m[d]
+        k = 0
+        for d in range(ndim):
+            for d2 in range(d + 1, ndim):
+                for s1 in (1, -1):
+                    for s2 in (1, -1):
+                        off = [0] * ndim
+                        off[d] = s1
+                        off[d2] = s2
+                        terms[tuple(off)] = float(s1 * s2) * op.mixed[k]
+                k += 1
+        offsets = op.offsets  # stencil_offsets order
+        return offsets, tuple(terms[off] for off in offsets)
+    raise TypeError(
+        f"no stored plane form for {type(op).__name__} (matrix-free "
+        "operators must use the probe path)"
+    )
+
+
+def collapse_to_radius1(op: StencilOperator) -> StencilOperator:
+    """Collapse a wider stencil onto radius-1 support by lumping every
+    coefficient onto the component-wise clipped offset (AMG-style stencil
+    collapsing).  Row sums are preserved exactly, and the boundary invariant
+    — coefficients of out-of-range offsets are exactly zero — survives: if
+    ``J + clip(O)`` leaves the grid in some dim, so does ``J + O``, so the
+    lumped contribution was already zero there.  The result is a full
+    radius-1 stencil (27-point in 3D: clipped mixed terms populate corners).
+
+    This is the ``galerkin_variant='collapsed'`` fast path: radius-1 coarse
+    operators keep 19->27 planes per level instead of up to 125, stay on the
+    1-voxel halo exchange, and qualify for the fused Pallas sweep; the
+    perturbation is the (small) radius-2 Galerkin mass, moved one cell
+    inward with its row sum intact.  Convergence parity with the exact
+    operator is regression-tested (tests/test_galerkin_direct.py)."""
+    ndim = op.ndim
+    if op.radius <= 1:
+        return op
+    acc = {}
+    for off, plane in zip(op.offsets, op.coeffs):
+        tgt = tuple(max(-1, min(1, o)) for o in off)
+        acc[tgt] = plane if tgt not in acc else acc[tgt] + plane
+    offsets = stencil_offsets(ndim, 1, drop_corners=False)
+    offsets = tuple(off for off in offsets if off in acc)
+    return StencilOperator(tuple(acc[off] for off in offsets), offsets)
+
+
+def _resolve_method(fine_op, method: str) -> str:
+    if method == "auto":
+        try:
+            stored_plane_terms(fine_op)
+        except TypeError:
+            return "probe"
+        voxels = 1
+        for s in fine_op.shape:
+            voxels *= s
+        return "direct" if voxels >= DIRECT_MIN_FINE_VOXELS else "probe"
+    if method not in ("probe", "direct"):
+        raise ValueError(f"unknown Galerkin assembly method: {method!r}")
+    return method
+
+
 def assemble_galerkin_parabolic(
     fine_op,
     centering: Sequence[str],
     probe_batch: int = PROBE_BATCH,
+    method: str = "auto",
+    collapse: bool = False,
 ) -> StencilOperator:
     """Galerkin-coarsen the *spatial* part of the implicit-Euler operator:
     ``A_c = I - R (I - A_f) P`` (exact identity + Galerkin ``dt*L``).
@@ -135,8 +228,17 @@ def assemble_galerkin_parabolic(
 
     Accepts any operator with ``apply``/``offsets`` (stored, compressed,
     matrix-free); returns a stored :class:`StencilOperator`.
+
+    ``method``: 'probe' (comb probing), 'direct' (closed-form plane
+    arithmetic, ops.galerkin_direct), or 'auto' (direct above
+    DIRECT_MIN_FINE_VOXELS).  ``collapse`` lumps the coarsened ``dt*L`` onto
+    radius-1 support (:func:`collapse_to_radius1`) before re-adding the exact
+    identity — the fast-sweep variant.
     """
-    s_c = assemble_galerkin(_SpatialPart(fine_op), centering, probe_batch)
+    s_c = assemble_galerkin(_SpatialPart(fine_op), centering, probe_batch,
+                            method)
+    if collapse:
+        s_c = collapse_to_radius1(s_c)
     planes = [-p for p in s_c.coeffs]
     center = s_c.offsets.index((0,) * s_c.ndim)
     planes[center] = planes[center] + 1.0
@@ -147,6 +249,7 @@ def assemble_galerkin(
     fine_op: StencilOperator,
     centering: Sequence[str],
     probe_batch: int = PROBE_BATCH,
+    method: str = "auto",
 ) -> StencilOperator:
     """Build the literal triple product ``A_c = R A_f P`` on the next-coarser
     grid (use :func:`assemble_galerkin_parabolic` for implicit-Euler
@@ -161,6 +264,15 @@ def assemble_galerkin(
 
     offsets, radii = galerkin_offsets(centering, _per_dim_radii(fine_op))
     offsets = _structural_offsets(centering, fine_op.offsets, radii)
+
+    if _resolve_method(fine_op, method) == "direct":
+        from .galerkin_direct import assemble_galerkin_direct
+
+        fine_offsets, fine_planes = stored_plane_terms(fine_op)
+        return assemble_galerkin_direct(
+            fine_offsets, fine_planes, tuple(centering), offsets, radii
+        )
+
     moduli = tuple(2 * r + 1 for r in radii)
 
     # index grids for phase arithmetic, built once

@@ -1,0 +1,332 @@
+"""Closed-form Galerkin coarse-operator assembly: ``A_c = R A_f P`` as direct
+plane arithmetic (no probing).
+
+The probe path (:mod:`.galerkin`) recovers ``A_c`` by applying the fine
+operator to ``prod(2 r_d + 1)`` comb vectors — 125 full fine-grid applies for
+a radius-2 coarse support in 3D, which dominates Galerkin setup time at scale
+(~200 GB of HBM traffic at 256^3).  This module computes the same operator
+directly from the closed form: because the transfers are *separable*
+(tensor products of 1-D stencils, ops/transfer.py) and the fine operator is a
+stencil, every coarse coefficient plane is a sum of separable 1-D banded
+contractions of the fine coefficient planes:
+
+    A_c[J, J+O] = sum_a sum_i prod_d R_d[J_d, i_d]
+                                * coeff_a[i] * prod_d P_d[i_d + a_d, J_d + O_d]
+
+so with the per-dim pair kernels ``G_d^{a,O}[J, i] = R_d[J, i] P_d[i+a, J+O]``
+(zero outside index ranges):
+
+    plane_O = sum_a  (G_0^{a_0,O_0} (x) G_1^{a_1,O_1} (x) ...)  coeff_a.
+
+Each ``G`` is a stride-2 banded matrix: Toeplitz in its interior (``out[j] =
+sum_p g(p) u[2j+p]``) with a handful of special border rows inherited from the
+transfer border stencils.  The structure is *detected numerically* at trace
+time from the exact (dyadic-rational) matrix, so border behavior is provably
+identical to the production transfers; rows that do not match the interior
+pattern are emitted as explicit row contractions.  Everything lowers to
+static strided slices and scalar multiply-adds — no gathers, no HLO-constant
+matrices, MXU/VPU-friendly and exactly shaped for XLA fusion.
+
+Cost: O(K) strided plane contractions at coarse-ish resolutions (~30 GB at
+256^3 level 0 -> 1 vs ~200 GB for probing).  The fan-out over ``(a, O)``
+pairs is batched by stacking planes on a leading axis and processing one
+spatial axis at a time, grouped by the per-dim fine offset — tens of XLA ops
+per level transition instead of thousands.
+
+Reference parity: this implements the documented GCA option of the
+reference's ``CoarseGridOperatorsGenerator``
+(doc/html/itk_coarse_grid_operators_generator_8hxx_source.html:370-780),
+whose impulse-probing structure the comb path mirrors; both paths are tested
+to agree with the dense ``R A P`` (tests/test_galerkin_direct.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.grids import CELL, VERTEX
+from ..core.stencil import StencilOperator
+from ..ops.transfer import coarse_size
+
+
+# ---------------------------------------------------------------------------
+# 1-D transfer matrices (numpy, host-side — computable at jit trace time)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=256)
+def restrict_matrix_1d(fine_n: int, centering: str) -> np.ndarray:
+    """Dense ``(c, f)`` matrix of the 1-D restriction (ops/transfer.py tables;
+    reference itkInterGridOperators.h:115-127).  Numpy mirror of the
+    production ops — parity-tested against them on identity matrices."""
+    f = fine_n
+    c = coarse_size(f, centering)
+    r = np.zeros((c, f))
+    if centering == VERTEX:
+        r[0, 0] = 1.0  # border rows: injection
+        r[c - 1, f - 1] = 1.0
+        for j in range(1, c - 1):
+            r[j, 2 * j - 1 : 2 * j + 2] = (0.25, 0.5, 0.25)
+    else:
+        r[0, 0:3] = (0.5, 0.375, 0.125)
+        r[c - 1, f - 3 : f] = (0.125, 0.375, 0.5)
+        for j in range(1, c - 1):
+            r[j, 2 * j - 1 : 2 * j + 3] = (0.125, 0.375, 0.375, 0.125)
+    return r
+
+
+@functools.lru_cache(maxsize=256)
+def prolong_matrix_1d(fine_n: int, centering: str) -> np.ndarray:
+    """Dense ``(f, c)`` matrix of the 1-D prolongation
+    (itkInterGridOperators.h:101-113)."""
+    f = fine_n
+    c = coarse_size(f, centering)
+    p = np.zeros((f, c))
+    if centering == VERTEX:
+        for j in range(c):
+            p[2 * j, j] = 1.0
+        for j in range(c - 1):
+            p[2 * j + 1, j] = 0.5
+            p[2 * j + 1, j + 1] = 0.5
+    else:
+        p[0, 0] = 1.0
+        p[f - 1, c - 1] = 1.0
+        for j in range(1, c):
+            p[2 * j, j] = 0.75
+            p[2 * j, j - 1] = 0.25
+        for j in range(c - 1):
+            p[2 * j + 1, j] = 0.75
+            p[2 * j + 1, j + 1] = 0.25
+    return p
+
+
+def pair_matrix(fine_n: int, centering: str, a: int, off: int) -> np.ndarray:
+    """``G[J, i] = R[J, i] * P[i + a, J + off]`` — the 1-D kernel through
+    which fine plane component ``a`` feeds coarse plane component ``off``
+    along one dimension (zero where an index leaves its range)."""
+    r = restrict_matrix_1d(fine_n, centering)
+    p = prolong_matrix_1d(fine_n, centering)
+    c, f = r.shape
+    g = np.zeros((c, f))
+    for j in range(c):
+        jc = j + off
+        if not (0 <= jc < c):
+            continue
+        i_lo = max(0, -a)
+        i_hi = min(f, f - a)
+        if i_lo < i_hi:
+            g[j, i_lo:i_hi] = r[j, i_lo:i_hi] * p[i_lo + a : i_hi + a, jc]
+    return g
+
+
+# ---------------------------------------------------------------------------
+# Banded-structure analysis of a pair matrix
+# ---------------------------------------------------------------------------
+
+class BandedSpec(NamedTuple):
+    """Stride-2 banded form of a pair matrix: Toeplitz interior rows
+    ``out[j] = sum_p stencil[p] u[2j+p]`` for ``j in [j0, j1)`` plus explicit
+    border rows (possibly empty-tap = zero rows) outside the run."""
+
+    c: int
+    f: int
+    j0: int
+    j1: int
+    #: ((p, weight), ...) interior taps; () when there is no interior run.
+    stencil: Tuple[Tuple[int, float], ...]
+    #: ((j, ((i, weight), ...)), ...) rows outside [j0, j1), ascending j.
+    rows: Tuple[Tuple[int, Tuple[Tuple[int, float], ...]], ...]
+
+
+def analyze_banded(g: np.ndarray) -> BandedSpec | None:
+    """Detect the stride-2 banded structure of ``g`` (None if all-zero).
+
+    Classification is purely numerical on the exact dyadic-rational matrix:
+    rows that match the most common translation-invariant pattern form the
+    interior run; every other row is kept as an explicit contraction, so a
+    misdetection can only cost speed, never correctness."""
+    c, f = g.shape
+    if not np.any(g):
+        return None
+    pats = []
+    for j in range(c):
+        nz = np.nonzero(g[j])[0]
+        pats.append(tuple((int(i) - 2 * j, float(g[j, i])) for i in nz))
+    counts = {}
+    for pat in pats:
+        if pat:
+            counts[pat] = counts.get(pat, 0) + 1
+    best = max(counts, key=counts.get)
+    j0 = j1 = 0
+    if counts[best] >= 2:
+        run_start = run_len = best_start = best_len = 0
+        for j in range(c + 1):
+            if j < c and pats[j] == best:
+                if run_len == 0:
+                    run_start = j
+                run_len += 1
+            else:
+                if run_len > best_len:
+                    best_start, best_len = run_start, run_len
+                run_len = 0
+        j0, j1 = best_start, best_start + best_len
+    stencil = best if j1 > j0 else ()
+    rows = tuple(
+        (j, tuple((2 * j + p, w) for p, w in pats[j]))
+        for j in range(c)
+        if not (j0 <= j < j1)
+    )
+    return BandedSpec(c=c, f=f, j0=j0, j1=j1, stencil=stencil, rows=rows)
+
+
+def apply_banded(x: jnp.ndarray, spec: BandedSpec, axis: int) -> jnp.ndarray:
+    """Apply a banded pair kernel along ``axis`` of ``x`` (length ``spec.f``
+    there, ``spec.c`` in the output).  Static strided slices + scalar FMAs."""
+
+    def at(sl):
+        return tuple(sl if i == axis else slice(None) for i in range(x.ndim))
+
+    def row_val(taps):
+        if not taps:
+            shape = list(x.shape)
+            shape[axis] = 1
+            return jnp.zeros(shape, x.dtype)
+        out = None
+        for i, w in taps:
+            t = w * x[at(slice(i, i + 1))]
+            out = t if out is None else out + t
+        return out
+
+    parts = [row_val(taps) for j, taps in spec.rows if j < spec.j0]
+    if spec.j1 > spec.j0:
+        interior = None
+        for p, w in spec.stencil:
+            lo = 2 * spec.j0 + p
+            hi = 2 * (spec.j1 - 1) + p + 1
+            t = w * x[at(slice(lo, hi, 2))]
+            interior = t if interior is None else interior + t
+        parts.append(interior)
+    parts += [row_val(taps) for j, taps in spec.rows if j >= spec.j1]
+    if len(parts) == 1:
+        return parts[0]
+    return jnp.concatenate(parts, axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# Assembly
+# ---------------------------------------------------------------------------
+
+def _sorted_regroup(cur: jnp.ndarray, meta: list, key) -> Tuple[jnp.ndarray, list]:
+    """Stable-sort the stacked rows by ``key(meta_entry)`` (host-side static
+    permutation; skipped when already grouped)."""
+    keys = [key(m) for m in meta]
+    order = sorted(range(len(meta)), key=lambda i: keys[i])
+    if order == list(range(len(meta))):
+        return cur, meta
+    return cur[np.asarray(order)], [meta[i] for i in order]
+
+
+def _segments(values):
+    """(value, start, end) runs of equal consecutive entries."""
+    out = []
+    start = 0
+    for i in range(1, len(values) + 1):
+        if i == len(values) or values[i] != values[start]:
+            out.append((values[start], start, i))
+            start = i
+    return out
+
+
+def assemble_galerkin_direct(
+    fine_offsets: Tuple[Tuple[int, ...], ...],
+    fine_planes: Sequence[jnp.ndarray],
+    centering: Sequence[str],
+    coarse_offsets: Tuple[Tuple[int, ...], ...],
+    radii: Tuple[int, ...],
+) -> StencilOperator:
+    """Assemble ``R A P`` directly from the fine coefficient planes.
+
+    ``coarse_offsets``/``radii`` define the output support (the caller's
+    structural offset table, matching the probe path); offsets receiving no
+    contribution come out as zero planes.
+    """
+    ndim = len(centering)
+    fshape = tuple(fine_planes[0].shape)
+    dtype = fine_planes[0].dtype
+    cshape = tuple(coarse_size(s, c) for s, c in zip(fshape, centering))
+
+    # per-dim banded specs for every (fine component, coarse component) pair
+    specs = []
+    for d in range(ndim):
+        a_vals = sorted({off[d] for off in fine_offsets})
+        table = {}
+        for a in a_vals:
+            for o in range(-radii[d], radii[d] + 1):
+                g = pair_matrix(fshape[d], centering[d], a, o)
+                table[(a, o)] = analyze_banded(g)
+        specs.append(table)
+
+    acc = {}  # coarse offset -> accumulated plane
+
+    def axis_stage(cur, meta, d, prefix_len):
+        """One spatial axis: group rows by their fine offset's component
+        ``d``, apply each valid pair kernel to the whole group."""
+        cur, meta = _sorted_regroup(cur, meta, key=lambda m: m[0][d])
+        arrays, new_meta = [], []
+        for a_val, s, e in _segments([m[0][d] for m in meta]):
+            block = cur[s:e]
+            for o in range(-radii[d], radii[d] + 1):
+                spec = specs[d][(a_val, o)]
+                if spec is None:
+                    continue
+                arrays.append(apply_banded(block, spec, axis=1 + d))
+                new_meta += [(a, pfx + (o,)) for a, pfx in meta[s:e]]
+        if not arrays:
+            return None, []
+        cur = arrays[0] if len(arrays) == 1 else jnp.concatenate(arrays, 0)
+        return cur, new_meta
+
+    # Chunk the pipeline by the first-axis coarse component O_0: bounds the
+    # peak size of the stacked intermediates to ~1/(2 r_0 + 1) of the total.
+    for o0 in range(-radii[0], radii[0] + 1):
+        arrays, meta = [], []
+        for a_val in sorted({off[0] for off in fine_offsets}):
+            spec = specs[0][(a_val, o0)]
+            if spec is None:
+                continue
+            idxs = [k for k, off in enumerate(fine_offsets) if off[0] == a_val]
+            block = jnp.stack([jnp.asarray(fine_planes[k]) for k in idxs])
+            arrays.append(apply_banded(block, spec, axis=1))
+            meta += [(fine_offsets[k], (o0,)) for k in idxs]
+        if not arrays:
+            continue
+        cur = arrays[0] if len(arrays) == 1 else jnp.concatenate(arrays, 0)
+        for d in range(1, ndim):
+            cur, meta = axis_stage(cur, meta, d, d)
+            if cur is None:
+                break
+        if cur is None:
+            continue
+        # accumulate rows into coarse planes, grouped by full coarse offset
+        cur, meta = _sorted_regroup(cur, meta, key=lambda m: m[1])
+        for o_full, s, e in _segments([m[1] for m in meta]):
+            plane = cur[s] if e == s + 1 else jnp.sum(cur[s:e], axis=0)
+            if o_full in acc:
+                acc[o_full] = acc[o_full] + plane
+            else:
+                acc[o_full] = plane
+
+    stray = set(acc) - set(coarse_offsets)
+    if stray:  # the structural table is provably a superset; fail loudly
+        raise AssertionError(
+            f"direct Galerkin produced offsets outside the structural "
+            f"table: {sorted(stray)}"
+        )
+    coeffs = tuple(
+        acc.get(off, jnp.zeros(cshape, dtype)) for off in coarse_offsets
+    )
+    return StencilOperator(coeffs, coarse_offsets)
