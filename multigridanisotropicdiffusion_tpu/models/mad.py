@@ -87,8 +87,10 @@ class MADConfig:
     operator_repr: str = "stored"
     #: deprecated alias for operator_repr='matrix_free'.
     matrix_free: bool = False
-    #: route 3D compressed-operator Gauss-Seidel sweeps through the fused
-    #: Pallas TPU kernel (~2.3x the XLA sweep).  With a mesh, applies on the
+    #: route 3D Gauss-Seidel sweeps through the fused Pallas TPU kernels
+    #: (~2.3x the XLA sweep): the compressed DCA operator and any radius-1
+    #: stored operator (collapsed Galerkin levels) qualify.  With a mesh,
+    #: applies on the
     #: halo='shard_map'/'overlap' path (per-block kernels inside shard_map,
     #: overlapped with the ppermute exchange); ignored under halo='gspmd'
     #: (the compiler-partitioned path cannot host hand-written kernels).
@@ -546,7 +548,6 @@ def _make_halo_ops(mesh, shapes: Tuple[Tuple[int, ...], ...], min_local: int,
     ``use_pallas`` the compressed 3D levels run the fused Pallas block kernels
     inside shard_map (the distributed fast path — kernel overlapped with the
     halo exchange, boundary slabs spliced in after; parallel.halo)."""
-    from ..ops.compressed import CompressedDCAOperator
     from ..parallel.halo import (
         make_halo_jacobi_sweep,
         make_halo_pallas_rbgs_sweep,
@@ -572,11 +573,9 @@ def _make_halo_ops(mesh, shapes: Tuple[Tuple[int, ...], ...], min_local: int,
     }
 
     def _pallas_dispatch(op, x) -> bool:
-        return (
-            use_pallas
-            and isinstance(op, CompressedDCAOperator)
-            and op.ndim == 3
-        )
+        from ..ops.pallas_smoothers import pallas_compatible
+
+        return use_pallas and pallas_compatible(op)
 
     if config.smoother in ("gauss_seidel", "gs", "rbgs"):
         def smooth(op, x, b):

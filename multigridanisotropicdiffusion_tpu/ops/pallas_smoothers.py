@@ -43,10 +43,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..core.stencil import StencilOperator
 from .compressed import CompressedDCAOperator
 
-#: VMEM budget for the ~15 double-buffered main blocks of the kernel.
-_MAIN_BLOCK_BUDGET_BYTES = 12 * 1024 * 1024 // (15 * 2)
+#: total double-buffered VMEM budget for the kernel's blocks.
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+#: block count of the compressed-operator kernel (10 coeffs + 3 x + b + out).
+_N_BLOCKS_COMPRESSED = 15
 
 
 def _sublane_granule(itemsize: int) -> int:
@@ -55,21 +59,32 @@ def _sublane_granule(itemsize: int) -> int:
     return 16 if itemsize == 2 else 8
 
 
-def pick_y_tile(y: int, x: int, itemsize: int = 4) -> int | None:
-    """Largest valid y-tile TY whose (TY, X) block fits the VMEM budget.
+def pick_y_tile(
+    y: int, x: int, itemsize: int = 4, n_blocks: int = _N_BLOCKS_COMPRESSED
+) -> int | None:
+    """Largest valid y-tile TY whose (TY, X) block fits the VMEM budget
+    (``n_blocks`` double-buffered blocks share ~12 MB).
 
     Mosaic constraint: a (1, TY, X) block needs TY % granule == 0 or TY == Y
     (the last dim always uses the full X; granule = 8 rows for 4-byte types,
     16 for bf16).  Tiled halos additionally need Y % granule == 0
     (granule-row halo blocks)."""
     g = _sublane_granule(itemsize)
+    budget = _VMEM_BUDGET_BYTES // (n_blocks * 2)
     best = None
     for ty in range(1, y + 1):
-        if y % ty != 0 or ty * x * itemsize > _MAIN_BLOCK_BUDGET_BYTES:
+        if y % ty != 0 or ty * x * itemsize > budget:
             continue
         if ty == y or (ty % g == 0 and y % g == 0):
             best = ty
     return best
+
+
+def _n_blocks_stored(n_offsets: int) -> int:
+    """Block count of the stored-operator kernel: K coefficient planes
+    (incl. diag) + 3 x z-positions + b + out (full-plane case; the tiled
+    case adds 6 halo blocks — small, covered by the 12 MB headroom)."""
+    return n_offsets + 5
 
 
 def _roll(a: jnp.ndarray, shift: int, axis: int) -> jnp.ndarray:
@@ -130,8 +145,44 @@ def _mask_local_shells(coeffs, diag_shape, nz: int, y: int, ty: int, k, j):
     )
 
 
+def _offdiag_contraction_stored(offsets, coeffs, sh):
+    """Generic off-diagonal contraction over a static radius-1 offset table
+    (non-center offsets, one coefficient block each)."""
+    out = None
+    for off, c in zip(offsets, coeffs):
+        term = c * sh(off[0], off[1], off[2])
+        out = term if out is None else out + term
+    return out
+
+
+def _mask_local_shells_stored(offsets, coeffs, diag_shape, nz, y, ty, k, j):
+    """Stored-operator form of :func:`_mask_local_shells`: zero each
+    coefficient on the local-block boundary shells its offset crosses."""
+    x_dim = diag_shape[-1]
+    row = jax.lax.broadcasted_iota(jnp.int32, diag_shape, 1) + j * ty
+    col = jax.lax.broadcasted_iota(jnp.int32, diag_shape, 2)
+    bounds = (
+        (k > 0, k < nz - 1),
+        (row > 0, row < y - 1),
+        (col > 0, col < x_dim - 1),
+    )
+    out = []
+    for off, c in zip(offsets, coeffs):
+        cond = None
+        for d, o in enumerate(off):
+            if o == 0:
+                continue
+            term = bounds[d][1] if o > 0 else bounds[d][0]
+            cond = term if cond is None else jnp.logical_and(cond, term)
+        out.append(c if cond is None else jnp.where(cond, c, jnp.zeros_like(c)))
+    return tuple(out)
+
+
 def _stencil_kernel(
     emit,
+    contract,
+    mask_fn,
+    n_coeff: int,
     ty: int,
     hh: int,
     aligned: bool,
@@ -143,6 +194,10 @@ def _stencil_kernel(
 ):
     """Shared kernel body: assemble shifted x-views, contract, emit output.
 
+    ``refs[:n_coeff]`` are the coefficient blocks (diag LAST); ``contract``
+    computes the off-diagonal sum from the non-diag coefficients and the
+    shifted-view accessor ``sh``; ``mask_fn`` is the local-shell masking for
+    the shard-local (distributed) form.
     ``emit(off, xc_blk, coeff_refs, b_ref, out_ref, k, j)`` writes the block.
     """
     k = pl.program_id(0)
@@ -153,9 +208,9 @@ def _stencil_kernel(
     def up(a):
         return a.astype(jnp.float32) if a.dtype == jnp.bfloat16 else a
 
-    coeff_refs = refs[:10]
+    coeff_refs = refs[:n_coeff]
     if full_plane:
-        xzm, xc, xzp, b, out = refs[10:]
+        xzm, xc, xzp, b, out = refs[n_coeff:]
         planes = {-1: up(xzm[...]), 0: up(xc[...]), 1: up(xzp[...])}
 
         def sh(zpos, dy, dx):
@@ -163,7 +218,7 @@ def _stencil_kernel(
 
         xc_blk = planes[0]
     else:
-        (xzm, xzm_t, xzm_b, xc, xc_t, xc_b, xzp, xzp_t, xzp_b, b, out) = refs[10:]
+        (xzm, xzm_t, xzm_b, xc, xc_t, xc_b, xzp, xzp_t, xzp_b, b, out) = refs[n_coeff:]
 
         if aligned:
             # granule-row halo blocks: the top block's LAST row is global row
@@ -199,12 +254,12 @@ def _stencil_kernel(
 
         xc_blk = planes[0][:, 1 : 1 + ty, :]
 
-    coeffs = tuple(up(r[...]) for r in coeff_refs[:9])
-    diag = up(coeff_refs[9][...])
+    coeffs = tuple(up(r[...]) for r in coeff_refs[: n_coeff - 1])
+    diag = up(coeff_refs[n_coeff - 1][...])
     if local_mask:
-        coeffs = _mask_local_shells(coeffs, diag.shape, nz, y, ty, k, j)
+        coeffs = mask_fn(coeffs, diag.shape, nz, y, ty, k, j)
     b_val = up(b[...])
-    off = _offdiag_contraction(coeffs, sh)
+    off = contract(coeffs, sh)
     emit(off, xc_blk, diag, b_val, out, k, j)
 
 
@@ -224,8 +279,11 @@ def _emit_residual(off, xc_blk, diag, b_val, out, k, j):
 @functools.lru_cache(maxsize=64)
 def _build_stencil_pass(shape: Tuple[int, ...], dtype_name: str, kind: str,
                         color: int, ty: int, interpret: bool,
-                        local_mask: bool = False):
-    """Compile one grid pass over the compressed operator.
+                        local_mask: bool = False,
+                        offsets: Tuple[Tuple[int, ...], ...] | None = None):
+    """Compile one grid pass over the compressed operator (``offsets=None``)
+    or a generic radius-1 stored operator (``offsets`` = its static
+    non-center offset table).
 
     ``kind``: 'halfsweep' (uses ``color``) or 'residual'.  ``local_mask``
     zeroes coefficients reaching across the block border in-kernel (the
@@ -282,7 +340,17 @@ def _build_stencil_pass(shape: Tuple[int, ...], dtype_name: str, kind: str,
             main_at(zp), top_at(zp), bot_at(zp),
         ]
         n_x = 9
-    specs = [coeff_spec] * 10 + x_specs + [coeff_spec]  # + b
+
+    if offsets is None:
+        n_coeff = 10
+        contract = _offdiag_contraction
+        mask_fn = _mask_local_shells
+    else:
+        offdiag = tuple(off for off in offsets if any(o != 0 for o in off))
+        n_coeff = len(offdiag) + 1
+        contract = functools.partial(_offdiag_contraction_stored, offdiag)
+        mask_fn = functools.partial(_mask_local_shells_stored, offdiag)
+    specs = [coeff_spec] * n_coeff + x_specs + [coeff_spec]  # + b
 
     if kind == "halfsweep":
         emit = functools.partial(_emit_halfsweep, color, ty)
@@ -292,7 +360,8 @@ def _build_stencil_pass(shape: Tuple[int, ...], dtype_name: str, kind: str,
         raise ValueError(f"unknown kind: {kind!r}")
 
     kernel = functools.partial(
-        _stencil_kernel, emit, ty, hh, aligned, full_plane, y, z, local_mask
+        _stencil_kernel, emit, contract, mask_fn, n_coeff, ty, hh, aligned,
+        full_plane, y, z, local_mask,
     )
     call = pl.pallas_call(
         kernel,
@@ -303,32 +372,69 @@ def _build_stencil_pass(shape: Tuple[int, ...], dtype_name: str, kind: str,
         interpret=interpret,
     )
 
-    def run(comp: CompressedDCAOperator, xf, b):
-        planes = (
-            comp.face_p[0], comp.face_m[0],
-            comp.face_p[1], comp.face_m[1],
-            comp.face_p[2], comp.face_m[2],
-            comp.mixed[0], comp.mixed[1], comp.mixed[2],
-            comp.diag_plane,
-        )
+    def run(op, xf, b):
+        if offsets is None:
+            planes = (
+                op.face_p[0], op.face_m[0],
+                op.face_p[1], op.face_m[1],
+                op.face_p[2], op.face_m[2],
+                op.mixed[0], op.mixed[1], op.mixed[2],
+                op.diag_plane,
+            )
+        else:
+            center = op.center_index
+            planes = tuple(
+                c for k, c in enumerate(op.coeffs) if k != center
+            ) + (op.diag,)
         return call(*planes, *([xf] * n_x), b)
 
     return run
 
 
-def _resolve_ty(shape, itemsize, ty):
+def _kernel_offsets(op):
+    """Static offset table for the kernel: None selects the fixed compressed
+    form, a tuple the generic stored form."""
+    return None if isinstance(op, CompressedDCAOperator) else op.offsets
+
+
+def _op_n_blocks(op) -> int:
+    if isinstance(op, CompressedDCAOperator):
+        return _N_BLOCKS_COMPRESSED
+    return _n_blocks_stored(len(op.offsets))
+
+
+def pallas_compatible(op) -> bool:
+    """Whether ``op`` has a fused-kernel form: the compressed DCA operator or
+    any stored radius-1 3D operator (e.g. collapsed Galerkin coarse levels).
+    Tiling feasibility is a separate, shape-level check
+    (:func:`pallas_supports`)."""
+    if isinstance(op, CompressedDCAOperator):
+        return op.ndim == 3
+    return (
+        isinstance(op, StencilOperator) and op.ndim == 3 and op.radius == 1
+    )
+
+
+def _resolve_ty(op, shape, itemsize, ty):
     if ty is None:
-        ty = pick_y_tile(shape[1], shape[2], itemsize)
+        ty = pick_y_tile(shape[1], shape[2], itemsize, _op_n_blocks(op))
     return ty
 
 
-def pallas_supports(shape: Tuple[int, ...], itemsize: int = 4) -> bool:
-    """Whether a 3D grid shape has a y-tiling that fits the VMEM budget."""
-    return len(shape) == 3 and pick_y_tile(shape[1], shape[2], itemsize) is not None
+def pallas_supports(
+    shape, itemsize: int = 4, op=None
+) -> bool:
+    """Whether a 3D grid shape has a y-tiling that fits the VMEM budget (for
+    ``op``'s block count; the compressed operator's when ``op`` is None)."""
+    n_blocks = _N_BLOCKS_COMPRESSED if op is None else _op_n_blocks(op)
+    return (
+        len(shape) == 3
+        and pick_y_tile(shape[1], shape[2], itemsize, n_blocks) is not None
+    )
 
 
 def pallas_rbgs_halfsweep(
-    comp: CompressedDCAOperator,
+    op,
     x: jnp.ndarray,
     b: jnp.ndarray,
     color: int,
@@ -338,21 +444,23 @@ def pallas_rbgs_halfsweep(
 ) -> jnp.ndarray:
     """One GS half-sweep updating cells of parity ``color`` (static 0/1).
 
-    Building block of the distributed smoother (parallel.halo): with
-    ``local_mask`` the contraction drops every cross-block term, which the
-    caller restores via halo-exchanged boundary slabs.  Raises if the shape
-    has no valid y-tiling (check :func:`pallas_supports` first)."""
+    ``op`` is a :class:`CompressedDCAOperator` or a radius-1 3D stored
+    :class:`StencilOperator` (check :func:`pallas_compatible`).  Building
+    block of the distributed smoother (parallel.halo): with ``local_mask``
+    the contraction drops every cross-block term, which the caller restores
+    via halo-exchanged boundary slabs.  Raises if the shape has no valid
+    y-tiling (check :func:`pallas_supports` first)."""
     shape = tuple(x.shape)
-    ty = _resolve_ty(shape, x.dtype.itemsize, ty)
+    ty = _resolve_ty(op, shape, x.dtype.itemsize, ty)
     if ty is None:
         raise ValueError(f"no y-tiling fits VMEM for shape {shape}")
     half = _build_stencil_pass(shape, str(x.dtype), "halfsweep", color, ty,
-                               interpret, local_mask)
-    return half(comp, x, b)
+                               interpret, local_mask, _kernel_offsets(op))
+    return half(op, x, b)
 
 
 def pallas_rbgs_sweep(
-    comp: CompressedDCAOperator,
+    op,
     x: jnp.ndarray,
     b: jnp.ndarray,
     interpret: bool = False,
@@ -360,47 +468,55 @@ def pallas_rbgs_sweep(
 ) -> jnp.ndarray:
     """One red-black GS sweep (red then black half-sweep) via Pallas.
 
-    3D only; operator must be a :class:`CompressedDCAOperator`.  Falls back to
-    the XLA sweep when no y-tiling fits the VMEM budget.  ``ty`` overrides the
-    automatic y-tile height (must divide Y).
-    """
-    if comp.ndim != 3:
-        raise ValueError("pallas_rbgs_sweep supports 3D grids only")
+    3D only; ``op`` must be :func:`pallas_compatible` (compressed DCA or
+    radius-1 stored, e.g. collapsed Galerkin levels).  Falls back to the XLA
+    sweep when no y-tiling fits the VMEM budget.  ``ty`` overrides the
+    automatic y-tile height (must divide Y)."""
+    if not pallas_compatible(op):
+        raise ValueError(
+            "pallas_rbgs_sweep needs a 3D compressed or radius-1 stored "
+            f"operator (got {op!r})"
+        )
     shape = tuple(x.shape)
-    ty = _resolve_ty(shape, x.dtype.itemsize, ty)
+    ty = _resolve_ty(op, shape, x.dtype.itemsize, ty)
     if ty is None:
         from .smoothers import rb_gauss_seidel_sweep
 
-        return rb_gauss_seidel_sweep(comp, x, b)
+        return rb_gauss_seidel_sweep(op, x, b)
     dtype_name = str(x.dtype)
+    offsets = _kernel_offsets(op)
     for color in (0, 1):
         half = _build_stencil_pass(shape, dtype_name, "halfsweep", color, ty,
-                                   interpret)
-        x = half(comp, x, b)
+                                   interpret, offsets=offsets)
+        x = half(op, x, b)
     return x
 
 
 def pallas_residual(
-    comp: CompressedDCAOperator,
+    op,
     x: jnp.ndarray,
     b: jnp.ndarray,
     interpret: bool = False,
     ty: int | None = None,
     local_mask: bool = False,
 ) -> jnp.ndarray:
-    """Fused residual ``r = b - A x`` on the compressed operator via Pallas.
+    """Fused residual ``r = b - A x`` via Pallas (operators as in
+    :func:`pallas_rbgs_sweep`).
 
     Falls back to the XLA apply when no y-tiling fits the VMEM budget (the
     ``local_mask`` shard-local form has no fallback — check
-    :func:`pallas_supports`)."""
-    if comp.ndim != 3:
-        raise ValueError("pallas_residual supports 3D grids only")
+    :func:`pallas_supports` first)."""
+    if not pallas_compatible(op):
+        raise ValueError(
+            "pallas_residual needs a 3D compressed or radius-1 stored "
+            f"operator (got {op!r})"
+        )
     shape = tuple(x.shape)
-    ty = _resolve_ty(shape, x.dtype.itemsize, ty)
+    ty = _resolve_ty(op, shape, x.dtype.itemsize, ty)
     if ty is None:
         if local_mask:
             raise ValueError(f"no y-tiling fits VMEM for shape {shape}")
-        return b - comp.apply(x)
+        return b - op.apply(x)
     run = _build_stencil_pass(shape, str(x.dtype), "residual", 0, ty,
-                              interpret, local_mask)
-    return run(comp, x, b)
+                              interpret, local_mask, _kernel_offsets(op))
+    return run(op, x, b)

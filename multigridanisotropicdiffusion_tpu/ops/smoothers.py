@@ -80,10 +80,9 @@ def make_smoother(
             return rb_gauss_seidel_sweep
 
         def sweep(op, x, b):
-            from .compressed import CompressedDCAOperator
-            from .pallas_smoothers import pallas_rbgs_sweep
+            from .pallas_smoothers import pallas_compatible, pallas_rbgs_sweep
 
-            if isinstance(op, CompressedDCAOperator) and op.ndim == 3:
+            if pallas_compatible(op):
                 # Mosaic is TPU-only; fall back to the interpreter elsewhere
                 # so use_pallas stays functional (if slow) on CPU.
                 interpret = jax.default_backend() != "tpu"
@@ -110,10 +109,9 @@ def make_residual(use_pallas: bool = False):
         return residual
 
     def resid(op, x, b):
-        from .compressed import CompressedDCAOperator
-        from .pallas_smoothers import pallas_residual
+        from .pallas_smoothers import pallas_compatible, pallas_residual
 
-        if isinstance(op, CompressedDCAOperator) and op.ndim == 3:
+        if pallas_compatible(op):
             interpret = jax.default_backend() != "tpu"
             return pallas_residual(op, x, b, interpret=interpret)
         return residual(op, x, b)

@@ -337,10 +337,12 @@ def make_halo_residual(mesh: Mesh, spec: PartitionSpec, overlap: bool = False):
 # Fused Pallas block kernels inside shard_map (the distributed fast path)
 # ---------------------------------------------------------------------------
 
-def _pallas_ok(x_l) -> bool:
-    from ..ops.pallas_smoothers import pallas_supports
+def _pallas_ok(op, x_l) -> bool:
+    from ..ops.pallas_smoothers import pallas_compatible, pallas_supports
 
-    return pallas_supports(tuple(x_l.shape), x_l.dtype.itemsize)
+    return pallas_compatible(op) and pallas_supports(
+        tuple(x_l.shape), x_l.dtype.itemsize, op
+    )
 
 
 def _halfsweep_slab_fix(
@@ -351,7 +353,12 @@ def _halfsweep_slab_fix(
     from exchanged halos and splice into the kernel output (whose masked
     contraction dropped every cross-block term there).  Overlapping slabs
     (block edges/corners) write identical full-contraction values, so the
-    overwrites are idempotent."""
+    overwrites are idempotent.
+
+    Radius-1 operators only (1-voxel halos/slabs are hardcoded); callers are
+    gated by the dispatch, and the assert below makes the cross-module
+    invariant fail loudly if ever reached with a wider stencil."""
+    assert _op_radii(op_l) == (1,) * x_l.ndim, _op_radii(op_l)
     ndim = x_l.ndim
     for d in _sharded_dims(mesh, spec, ndim):
         for lo in (True, False):
@@ -385,7 +392,7 @@ def make_halo_pallas_rbgs_sweep(
     def sweep(op, x, b):
         def local(op_local, x_l, b_l):
             red = _global_parity(x_l.shape, mesh, spec)
-            if not _pallas_ok(x_l):
+            if not _pallas_ok(op_local, x_l):
                 diag = op_local.diag
                 for color in (True, False):
                     off = _offdiag_exchange(op_local, x_l, mesh, spec, True)
@@ -424,10 +431,12 @@ def make_halo_pallas_residual(
 
     def res(op, x, b):
         def local(op_local, x_l, b_l):
-            if not _pallas_ok(x_l):
+            if not _pallas_ok(op_local, x_l):
                 off = _offdiag_exchange(op_local, x_l, mesh, spec, True)
                 return b_l - off - op_local.diag * x_l
 
+            # radius-1 halos/slabs are hardcoded below (see _halfsweep_slab_fix)
+            assert _op_radii(op_local) == (1,) * x_l.ndim, _op_radii(op_local)
             r = pallas_residual(
                 op_local, x_l, b_l, interpret=interpret, local_mask=True
             )

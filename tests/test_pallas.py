@@ -114,3 +114,113 @@ def test_pallas_bf16_blocks(rng):
         )
         # in-kernel f32 compute vs XLA bf16 compute: bf16-rounding tolerance
         np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05, err_msg=f"ty={ty}")
+
+
+# ---------------------------------------------------------------------------
+# Generic stored-operator kernel (radius-1 StencilOperator, e.g. collapsed
+# Galerkin coarse levels)
+# ---------------------------------------------------------------------------
+
+def _random_radius1_op(rng, shape, drop_corners=False):
+    """Random diagonally-dominant radius-1 stored operator honoring the
+    boundary invariant (out-of-range offsets carry zero coefficients)."""
+    from multigridanisotropicdiffusion_tpu.core.stencil import (
+        StencilOperator,
+        stencil_offsets,
+    )
+
+    offsets = stencil_offsets(3, 1, drop_corners=drop_corners)
+    planes = []
+    guard = np.zeros(shape)
+    for off in offsets:
+        if all(o == 0 for o in off):
+            planes.append(None)
+            continue
+        p = rng.normal(size=shape) * 0.1
+        for d, o in enumerate(off):
+            sl = [slice(None)] * 3
+            if o > 0:
+                sl[d] = slice(shape[d] - o, shape[d])
+            elif o < 0:
+                sl[d] = slice(0, -o)
+            else:
+                continue
+            p[tuple(sl)] = 0.0
+        planes.append(p)
+        guard += np.abs(p)
+    center = offsets.index((0, 0, 0))
+    planes[center] = guard + 1.0
+    return StencilOperator(tuple(jnp.asarray(p) for p in planes), offsets)
+
+
+@pytest.mark.parametrize("drop_corners", [False, True])
+def test_pallas_stored_matches_xla(rng, drop_corners):
+    """27-point (and 19-point) stored-operator kernel vs the XLA sweep."""
+    shape = (6, 8, 10)
+    op = _random_radius1_op(rng, shape, drop_corners)
+    x = jnp.asarray(rng.normal(size=shape))
+    b = jnp.asarray(rng.normal(size=shape))
+    want = np.asarray(rb_gauss_seidel_sweep(op, x, b))
+    for ty in (None, 2, 8):
+        got = np.asarray(pallas_rbgs_sweep(op, x, b, interpret=True, ty=ty))
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12,
+                                   err_msg=f"ty={ty}")
+
+
+def test_pallas_stored_residual_matches_xla(rng):
+    shape = (5, 24, 9)
+    op = _random_radius1_op(rng, shape)
+    x = jnp.asarray(rng.normal(size=shape))
+    b = jnp.asarray(rng.normal(size=shape))
+    want = np.asarray(b - op.apply(x))
+    for ty in (None, 8):
+        got = np.asarray(pallas_residual(op, x, b, interpret=True, ty=ty))
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12,
+                                   err_msg=f"ty={ty}")
+
+
+def test_pallas_stored_collapsed_galerkin_level(rng):
+    """The production use: a collapsed Galerkin coarse operator swept by the
+    generic kernel agrees with the XLA sweep."""
+    from multigridanisotropicdiffusion_tpu.ops.dca import assemble_dca
+    from multigridanisotropicdiffusion_tpu.ops.galerkin import (
+        assemble_galerkin_parabolic,
+    )
+
+    shape = (12, 14, 16)
+    tensor = make_spd_tensor_field(rng, shape, 3, hi=3.0)
+    fine = assemble_dca(as_sym_planes(tensor, shape), (1.0,) * 3, 0.1)
+    coarse = assemble_galerkin_parabolic(fine, ("c", "c", "c"), collapse=True)
+    assert coarse.radius == 1
+
+    from multigridanisotropicdiffusion_tpu.ops.pallas_smoothers import (
+        pallas_compatible,
+    )
+
+    assert pallas_compatible(coarse)
+    cshape = coarse.shape
+    x = jnp.asarray(rng.normal(size=cshape))
+    b = jnp.asarray(rng.normal(size=cshape))
+    got = np.asarray(pallas_rbgs_sweep(coarse, x, b, interpret=True))
+    want = np.asarray(rb_gauss_seidel_sweep(coarse, x, b))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_pallas_stored_rejects_radius2(rng):
+    """Exact Galerkin levels (radius 2) must not silently reach the radius-1
+    kernel."""
+    from multigridanisotropicdiffusion_tpu.ops.dca import assemble_dca
+    from multigridanisotropicdiffusion_tpu.ops.galerkin import assemble_galerkin
+    from multigridanisotropicdiffusion_tpu.ops.pallas_smoothers import (
+        pallas_compatible,
+    )
+
+    shape = (12, 12, 12)
+    tensor = make_spd_tensor_field(rng, shape, 3, hi=2.0)
+    fine = assemble_dca(as_sym_planes(tensor, shape), (1.0,) * 3, 0.1)
+    exact = assemble_galerkin(fine, ("c", "c", "c"))
+    assert exact.radius == 2
+    assert not pallas_compatible(exact)
+    with pytest.raises(ValueError):
+        pallas_rbgs_sweep(exact, jnp.zeros(exact.shape), jnp.zeros(exact.shape),
+                          interpret=True)

@@ -221,3 +221,29 @@ def test_multihost_entry_points_single_process():
     mesh = make_multihost_grid_mesh(3)
     assert mesh.axis_names == ("x", "y", "z")
     assert int(np.prod(tuple(mesh.shape.values()))) == len(jax.devices())
+
+
+@needs_8_devices
+def test_distributed_collapsed_galerkin_pallas_matches_single(rng):
+    """Collapsed Galerkin coarse levels are radius-1 stored operators: they
+    must ride the generic Pallas fast path inside shard_map and match the
+    plain single-device collapsed-Galerkin solve."""
+    shape = (32, 32, 32)
+    tensor = make_spd_tensor_field(rng, shape, 3, hi=2.0)
+    image = rng.normal(size=shape) * 10.0
+    base = MADConfig(
+        time_step=0.05, tolerance=1e-8, max_cycles=30,
+        coarse_operator="galerkin", galerkin_variant="collapsed",
+    )
+    ref = mad_diffusion(image, tensor, config=base)
+
+    cfg = dataclasses.replace(
+        base, operator_repr="compressed", use_pallas=True, halo="overlap"
+    )
+    mesh = make_grid_mesh(3, mesh_shape=(2, 2, 2))
+    got = mad_diffusion(image, tensor, config=cfg, mesh=mesh, min_local=4)
+
+    assert int(got.num_cycles[0]) == int(ref.num_cycles[0])
+    np.testing.assert_allclose(
+        np.asarray(got.output), np.asarray(ref.output), rtol=1e-8, atol=1e-8
+    )
