@@ -549,6 +549,7 @@ def _make_halo_ops(mesh, shapes: Tuple[Tuple[int, ...], ...], min_local: int,
     inside shard_map (the distributed fast path — kernel overlapped with the
     halo exchange, boundary slabs spliced in after; parallel.halo)."""
     from ..parallel.halo import (
+        make_halo_chebyshev_smoother,
         make_halo_jacobi_sweep,
         make_halo_pallas_rbgs_sweep,
         make_halo_pallas_residual,
@@ -590,10 +591,15 @@ def _make_halo_ops(mesh, shapes: Tuple[Tuple[int, ...], ...], min_local: int,
             return make_halo_jacobi_sweep(
                 mesh, specs[tuple(x.shape)], config.jacobi_weight, overlap
             )(op, x, b)
+    elif config.smoother in ("chebyshev", "cheby"):
+        def smooth(op, x, b):
+            return make_halo_chebyshev_smoother(
+                mesh, specs[tuple(x.shape)], overlap=overlap
+            )(op, x, b)
     else:
         raise ValueError(
             "halo='shard_map'/'overlap' supports gauss_seidel / "
-            f"weighted_jacobi smoothers (got {config.smoother!r})"
+            f"weighted_jacobi / chebyshev smoothers (got {config.smoother!r})"
         )
 
     def resid(op, x, b):
@@ -697,6 +703,20 @@ def mad_diffusion(
     config = config or MADConfig()
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if (
+        mesh is not None
+        and config.halo != "gspmd"
+        and config.coarse_operator == GALERKIN
+        and config.galerkin_variant == "exact"
+        and min_local < 2
+    ):
+        # exact Galerkin levels reach stencil radius 2; the one-hop halo
+        # exchange needs local blocks at least that thick
+        raise ValueError(
+            "halo='shard_map'/'overlap' with exact Galerkin coarse operators "
+            f"needs min_local >= 2 (got {min_local}); raise min_local or use "
+            "galerkin_variant='collapsed'"
+        )
 
     shape = tuple(image.shape)
     tensor = as_sym_planes(tensor, shape)

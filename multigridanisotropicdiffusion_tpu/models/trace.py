@@ -43,10 +43,20 @@ def mad_diffusion_verbose(
     dtype=None,
     print_fn: Callable[[str], None] = print,
     logger: ResidualTraceLogger | None = None,
+    mesh=None,
+    min_local: int = 8,
 ):
     """Eager MAD solve with the reference's verbose per-level residual trace.
 
     Returns ``(output, trace)`` where ``trace`` is the list of emitted lines.
+
+    With ``mesh`` the trace runs the *distributed* configuration the user
+    actually runs: the hierarchy and fields are sharded over the mesh, and
+    with ``halo='shard_map'/'overlap'`` the smoother/residual are the same
+    explicit halo-exchange (and Pallas) ops as the production solver — each
+    eagerly dispatched so the per-level residuals can be reported.  Volumes
+    needing pad-to-divisible embeddings are not supported here (use a
+    mesh-divisible shape or ``halo='gspmd'`` for tracing).
     """
     import jax
 
@@ -63,10 +73,31 @@ def mad_diffusion_verbose(
     hier = build_hierarchy(
         tuple(jnp.asarray(p, dtype) for p in tensor), levels, config.time_step,
         config.coarse_operator, config.effective_operator_repr,
+        config.galerkin_variant,
     )
     smooth = make_smoother(
         config.smoother, config.jacobi_weight, use_pallas=config.use_pallas
     )
+    resid = residual
+    if mesh is not None:
+        from ..parallel.sharding import shard_field, shard_hierarchy
+        from .mad import _make_halo_ops, _padded_shapes
+
+        shapes, padded = _padded_shapes(mesh, levels, min_local, config)
+        if padded:
+            raise ValueError(
+                "mad_diffusion_verbose does not support pad-to-divisible "
+                f"volumes (shape {shape} on this mesh); use a mesh-divisible "
+                "shape or halo='gspmd'"
+            )
+        hier = shard_hierarchy(hier, levels, mesh, min_local)
+        image = shard_field(jnp.asarray(image, dtype), mesh, min_local)
+        if config.halo != "gspmd":
+            smooth, resid = _make_halo_ops(mesh, shapes, min_local, config)
+            # the eager loop calls these hundreds of times: jit so the
+            # shard_map programs compile once per level shape, not per call
+            smooth = jax.jit(smooth)
+            resid = jax.jit(resid)
 
     lines = []
 
@@ -76,7 +107,7 @@ def mad_diffusion_verbose(
         print_fn(line)
 
     def rel(op, x, b, bnorm):
-        return float(l2_norm(residual(op, x, b)) / bnorm)
+        return float(l2_norm(resid(op, x, b)) / bnorm)
 
     def v_cycle(x, b, level):
         bnorm = float(l2_norm(b))
@@ -95,7 +126,7 @@ def mad_diffusion_verbose(
             emit(level + 1, f"Level {level}, iteration {n + 1}: relative residual = {r}")
             if level == 0 and logger is not None:
                 logger.log(r)
-        rc = restrict(residual(op, x, b), levels[level + 1].centering)
+        rc = restrict(resid(op, x, b), levels[level + 1].centering)
         ec = v_cycle(jnp.zeros_like(rc), rc, level + 1)
         x = x + prolong(ec, levels[level + 1].centering)
         r = rel(op, x, b, bnorm)
@@ -120,7 +151,8 @@ def mad_diffusion_verbose(
         rhs_norm = float(l2_norm(b))
         if config.cycle == FMG:
             emit(0, "|--- Full Multigrid Cycle ---|")
-            x = full_multigrid(hier, levels, smooth, config.iterations_per_grid, b)
+            x = full_multigrid(hier, levels, smooth, config.iterations_per_grid,
+                               b, resid=resid)
         else:
             x = b
         k = 0

@@ -94,9 +94,15 @@ class VEDConfig:
 
     @classmethod
     def tpu(cls, mixed_precision: bool = True, **kw) -> "VEDConfig":
-        """The single-chip TPU fast path (see :meth:`MADConfig.tpu`)."""
+        """The TPU fast path (see :meth:`MADConfig.tpu`): compressed operator
+        + fused Pallas sweeps (+ bf16 defect cycles unless
+        ``mixed_precision=False``).  ``halo='overlap'`` so that, with a mesh,
+        the solve keeps the Pallas-in-shard_map fast path instead of silently
+        dropping to the compiler-partitioned gspmd sweeps — this preset IS the
+        8-chip north-star configuration, not just the single-chip one."""
         kw.setdefault("operator_repr", "compressed")
         kw.setdefault("use_pallas", True)
+        kw.setdefault("halo", "overlap")
         if mixed_precision:
             kw.setdefault("defect_dtype", "bfloat16")
         return cls(**kw)
@@ -286,8 +292,12 @@ def _fused_scales(
     # Hessian planes, running best) in the field dtype but run all the
     # elementwise math (eigensolves, vesselness, tensor assembly) in f32 —
     # the upcasts fuse into their consumers, so storage traffic stays low.
+    # ANY sub-f32 float storage dtype (bf16, f16) promotes: the "math always
+    # runs in float32" guarantee of the pipeline_dtype docstring.
     math_dtype = (
-        jnp.float32 if u.dtype == jnp.bfloat16 else u.dtype
+        jnp.float32
+        if jnp.issubdtype(u.dtype, jnp.floating) and u.dtype.itemsize < 4
+        else u.dtype
     )
 
     def up(planes):

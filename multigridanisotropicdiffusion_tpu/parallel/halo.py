@@ -107,7 +107,10 @@ def _exchange_halos(
     """Pad the local block by the stencil radius in every dimension:
     ``radii[d]``-thick neighbor faces via ppermute along sharded axes, zeros
     at global-domain borders.  Requires each sharded local dim >= its radius
-    (one-hop exchange; guaranteed by ``min_local`` >= max radius)."""
+    (one-hop exchange).  Nothing upstream ties ``min_local`` to the operator
+    radius, so the trace-time check below is the real guard (reachable with
+    min_local < 2 on an exact-Galerkin hierarchy); models.mad additionally
+    validates the config combination early."""
     ndim = x_local.ndim
     if radii is None:
         radii = (1,) * ndim
@@ -119,7 +122,7 @@ def _exchange_halos(
             pad[d] = (r, r)
             x_local = jnp.pad(x_local, pad)
             continue
-        if x_local.shape[d] < r:  # pragma: no cover - guarded by min_local
+        if x_local.shape[d] < r:
             raise ValueError(
                 f"local block dim {d} ({x_local.shape[d]}) smaller than the "
                 f"stencil radius {r}: raise min_local"
@@ -317,6 +320,56 @@ def make_halo_jacobi_sweep(
         return _shmap(mesh, spec, local)(op, x, b)
 
     return sweep
+
+
+@functools.lru_cache(maxsize=64)
+def make_halo_chebyshev_smoother(
+    mesh: Mesh, spec: PartitionSpec, degree: int | None = None,
+    eig_ratio: float | None = None, overlap: bool = False,
+):
+    """Chebyshev polynomial smoother with explicit halo exchange.
+
+    The easiest smoother to distribute: ``degree + 1`` full stencil applies,
+    each one halo exchange (optionally overlapped), no coloring.  The only
+    collective beyond the halos is a ``pmax`` making the Gershgorin bound
+    ``lmax`` global — without it each shard would damp a *different*
+    spectral band and the smoother would no longer equal its single-device
+    counterpart (ops.smoothers.chebyshev_smoother)."""
+    from ..ops.smoothers import CHEBYSHEV_DEGREE, CHEBYSHEV_EIG_RATIO
+
+    degree = CHEBYSHEV_DEGREE if degree is None else degree
+    eig_ratio = CHEBYSHEV_EIG_RATIO if eig_ratio is None else eig_ratio
+
+    def smooth(op, x, b):
+        def local(op_local, x_l, b_l):
+            diag = op_local.diag
+            lmax = jnp.max(1.0 + op_local.offdiag_abs_rowsum() / diag)
+            for axis_name in mesh.axis_names:
+                lmax = lax.pmax(lmax, axis_name)
+            lmin = lmax / eig_ratio
+            theta = 0.5 * (lmax + lmin)
+            delta = 0.5 * (lmax - lmin)
+            sigma = theta / delta
+
+            def apply_full(v):
+                off = _offdiag_exchange(op_local, v, mesh, spec, overlap)
+                return diag * v + off
+
+            r = b_l - apply_full(x_l)
+            d = (r / diag) / theta
+            rho = 1.0 / sigma
+            x_out = x_l
+            for _ in range(degree):
+                x_out = x_out + d
+                r = r - apply_full(d)
+                rho_new = 1.0 / (2.0 * sigma - rho)
+                d = rho_new * rho * d + (2.0 * rho_new / delta) * (r / diag)
+                rho = rho_new
+            return x_out + d
+
+        return _shmap(mesh, spec, local)(op, x, b)
+
+    return smooth
 
 
 @functools.lru_cache(maxsize=64)

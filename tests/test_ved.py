@@ -251,3 +251,61 @@ def test_ved_bf16_pipeline_close_to_f32(rng):
     for a, b in zip(t32, t16):
         assert np.asarray(b).dtype == np.float32
         assert float(jnp.mean(jnp.abs(a - b))) < 0.05
+
+
+def test_ved_bf16_pipeline_tiled_and_gaussian_modes(rng):
+    """ADVICE r2: the benchmarked 512^3 bf16 config is the *z-slab-tiled*
+    smooth_fd path, and gaussian_derivative under bf16 rounds between
+    separable passes — both combinations must stay close to their f32
+    counterparts, and the tiled bf16 path must equal the untiled bf16 path."""
+    from multigridanisotropicdiffusion_tpu.models.ved import (
+        fused_vesselness_tensor,
+    )
+
+    n = 32
+    z = np.arange(n, dtype=np.float64)
+    vol = np.zeros((n, n, n))
+    yy, xx = np.meshgrid(z, z, indexing="ij")
+    vol += 80.0 * np.exp(-(((yy - 10) ** 2) + (xx - 20) ** 2) / 8.0)[None]
+    vol += 90.0 * np.exp(
+        -(((z[:, None] - 10) ** 2)[:, :, None] + ((xx - 24) ** 2)[None]) / 8.0
+    )
+    vol += 2.0 * rng.normal(size=(n, n, n))
+    u = jnp.asarray(vol, jnp.float32)
+    common = ((0.5, 1.0, 2.0), (1.0, 1.0, 1.0), 0.5, 0.5, 5.0, 0.01, 5.0, 10.0)
+
+    for mode, z_slab in (("smooth_fd", 8), ("gaussian_derivative", None),
+                         ("gaussian_derivative", 8)):
+        r32, t32 = fused_vesselness_tensor(u, *common, None, mode)
+        r16, t16 = fused_vesselness_tensor(u, *common, z_slab, mode, "bfloat16")
+        assert np.asarray(r16).dtype == np.float32, (mode, z_slab)
+        assert float(jnp.mean(jnp.abs(r32 - r16))) < 1e-2, (mode, z_slab)
+        for a, b in zip(t32, t16):
+            assert float(jnp.mean(jnp.abs(a - b))) < 0.05, (mode, z_slab)
+
+    # tiled bf16 vs untiled bf16: the slab convs reassociate the same taps,
+    # so under bf16 storage the results differ only at bf16-rounding scale
+    # (the f32 path's exact tiling equality is tested elsewhere)
+    r_u, t_u = fused_vesselness_tensor(u, *common, None, "smooth_fd", "bfloat16")
+    r_t, t_t = fused_vesselness_tensor(u, *common, 8, "smooth_fd", "bfloat16")
+    assert float(jnp.max(jnp.abs(r_t - r_u))) < 1e-3
+    for a, b in zip(t_u, t_t):
+        assert float(jnp.mean(jnp.abs(b - a))) < 1e-2
+
+
+def test_ved_float16_pipeline_promotes_math_to_f32(rng):
+    """ADVICE r2: any sub-f32 pipeline_dtype (not just bfloat16) must keep
+    the eig/vesselness/tensor math in float32."""
+    from multigridanisotropicdiffusion_tpu.models.ved import (
+        fused_vesselness_tensor,
+    )
+
+    u = jnp.asarray(rng.uniform(0.0, 50.0, size=(8, 10, 8)), jnp.float32)
+    args = ((0.5, 1.0), (1.0, 1.0, 1.0), 0.5, 0.5, 5.0, 0.01, 5.0, 10.0,
+            None, "smooth_fd")
+    r32, t32 = fused_vesselness_tensor(u, *args)
+    r16, t16 = fused_vesselness_tensor(u, *args, "float16")
+    assert np.asarray(r16).dtype == np.float32
+    for p in t16:
+        assert np.asarray(p).dtype == np.float32
+    assert float(jnp.mean(jnp.abs(r32 - r16))) < 2e-2
