@@ -127,22 +127,38 @@ def make_multihost_grid_mesh(
     connectivity across hosts — the layout BASELINE.md's ">=80% weak scaling
     at 2 hosts" target assumes (per-host work fixed, one extra DCN face).
 
-    Single-process: equivalent to :func:`make_grid_mesh`.
+    Single-process: equivalent to :func:`make_grid_mesh`.  Backends whose
+    devices carry no slice topology (e.g. multi-process CPU — the 2-process
+    test harness) fall back to an explicit process-major layout with the
+    same guarantee: devices of each process form a contiguous block of the
+    first mesh axis.
     """
     n_proc = jax.process_count()
     local = jax.local_device_count()
     if n_proc == 1:
         return make_grid_mesh(ndim)
-    from jax.experimental import mesh_utils
-
-    ici_shape = factorize_devices(local, ndim)
-    dcn_shape = (n_proc,) + (1,) * (ndim - 1)
-    dev_array = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=ici_shape,
-        dcn_mesh_shape=dcn_shape,
-        allow_split_physical_axes=allow_split_physical_axes,
-    )
     axis_names = ("x", "y", "z")[:ndim]
+    ici_shape = factorize_devices(local, ndim)
+    try:
+        from jax.experimental import mesh_utils
+
+        dcn_shape = (n_proc,) + (1,) * (ndim - 1)
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=ici_shape,
+            dcn_mesh_shape=dcn_shape,
+            allow_split_physical_axes=allow_split_physical_axes,
+        )
+    except ValueError:
+        # no slice topology (CPU / single-slice backends): process-major
+        # stacking along the first axis keeps each host's devices a
+        # contiguous slab, so host-boundary halos still cross exactly one
+        # face pair per neighbor
+        devices = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+        blocks = []
+        for p in range(n_proc):
+            mine = [d for d in devices if d.process_index == p]
+            blocks.append(np.asarray(mine).reshape(ici_shape))
+        dev_array = np.concatenate(blocks, axis=0)
     return Mesh(dev_array, axis_names)
 
 

@@ -36,11 +36,22 @@ _METAIMAGE_NAMES = {np.dtype(v): k for k, v in _METAIMAGE_DTYPES.items()}
 
 
 class MetaImage(NamedTuple):
-    """A loaded volume: C-ordered data (axis 0 slowest) + matching spacing."""
+    """A loaded volume: C-ordered data (axis 0 slowest) + matching spacing.
+
+    Orientation metadata (``direction``/``offset``/``center_of_rotation``)
+    is kept in the FILE's (x-first) axis convention, exactly as ITK stores
+    it: ``direction`` is the row-major ``TransformMatrix`` reshaped to
+    (NDims, NDims), ``offset`` the physical origin.  The reference VED
+    driver re-applies the input volume's direction to the output
+    (/root/reference/test/itkVEDTest_GS.cxx:106-125); pass these fields back
+    to :func:`write_meta_image` to do the same."""
 
     data: np.ndarray
     spacing: Tuple[float, ...]
     header: dict
+    direction: np.ndarray | None = None
+    offset: Tuple[float, ...] | None = None
+    center_of_rotation: Tuple[float, ...] | None = None
 
 
 def read_meta_image(path: str) -> MetaImage:
@@ -74,12 +85,26 @@ def read_meta_image(path: str) -> MetaImage:
     n = int(np.prod(dim_size))
     if arr.size != n:
         raise ValueError(f"data size {arr.size} != DimSize product {n}")
+    direction = None
+    if "TransformMatrix" in header:
+        vals = [float(v) for v in header["TransformMatrix"].split()]
+        direction = np.asarray(vals).reshape(ndims, ndims)
+    offset = None
+    if "Offset" in header:
+        offset = tuple(float(v) for v in header["Offset"].split())
+    center = None
+    if "CenterOfRotation" in header:
+        center = tuple(float(v) for v in header["CenterOfRotation"].split())
+
     # x fastest in the file -> C-order shape (z, y, x)
     arr = arr.reshape(tuple(reversed(dim_size)))
     return MetaImage(
         data=np.ascontiguousarray(arr),
         spacing=tuple(reversed(spacing)),
         header=header,
+        direction=direction,
+        offset=offset,
+        center_of_rotation=center,
     )
 
 
@@ -89,12 +114,31 @@ def write_meta_image(
     spacing: Tuple[float, ...] | None = None,
     compressed: bool = True,
     extra_header: dict | None = None,
+    direction: np.ndarray | None = None,
+    offset: Tuple[float, ...] | None = None,
+    center_of_rotation: Tuple[float, ...] | None = None,
+    like: "MetaImage | None" = None,
 ) -> None:
     """Write a MetaImage pair (.mhd + .raw/.zraw).
 
     ``data`` follows the same convention as :func:`read_meta_image`
     (axis 0 slowest); DimSize is written reversed (x first).
+
+    ``direction``/``offset``/``center_of_rotation`` are written as
+    ``TransformMatrix``/``Offset``/``CenterOfRotation`` in the file's
+    x-first convention (the form :func:`read_meta_image` returns them in).
+    ``like`` copies all three (and spacing, unless given) from a source
+    :class:`MetaImage` — the reference VED driver's "re-apply the input
+    direction to the output" step (itkVEDTest_GS.cxx:106-125) in one
+    argument.
     """
+    if like is not None:
+        direction = like.direction if direction is None else direction
+        offset = like.offset if offset is None else offset
+        if center_of_rotation is None:
+            center_of_rotation = like.center_of_rotation
+        if spacing is None:
+            spacing = like.spacing
     data = np.ascontiguousarray(data)
     ndims = data.ndim
     if spacing is None:
@@ -117,6 +161,22 @@ def write_meta_image(
     ]
     if compressed:
         lines.append(f"CompressedDataSize = {len(payload)}")
+    if direction is not None:
+        d = np.asarray(direction, dtype=float)
+        if d.shape != (ndims, ndims):
+            raise ValueError(
+                f"direction must be ({ndims}, {ndims}), got {d.shape}"
+            )
+        lines.append(
+            "TransformMatrix = " + " ".join(repr(float(v)) for v in d.ravel())
+        )
+    if offset is not None:
+        lines.append("Offset = " + " ".join(repr(float(v)) for v in offset))
+    if center_of_rotation is not None:
+        lines.append(
+            "CenterOfRotation = "
+            + " ".join(repr(float(v)) for v in center_of_rotation)
+        )
     for key, value in (extra_header or {}).items():
         lines.append(f"{key} = {value}")
     lines.append("ElementSpacing = " + " ".join(str(s) for s in reversed(spacing)))
