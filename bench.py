@@ -1,12 +1,17 @@
-"""Benchmark driver: prints ONE JSON line for the round harness.
+"""Benchmark driver for the round harness.
 
-Headline metric (BASELINE.json north star): the full 512^3 VED workload
-(vesselness pipeline + hierarchy setup + implicit diffusion solve to a 1e-6
-relative residual) in seconds on one chip; ``vs_baseline`` = 1.0 s target /
-measured (>1 = beating the 8-chip target on one chip).  The red-black
-Gauss-Seidel smoother throughput study (voxel-updates/s/chip on a 3D
-19-point-stencil operator, below) rides along in ``extra`` and becomes the
-headline if the VED run fails.
+Output contract: the LAST stdout line is the compact headline dict
+``{"metric", "value", "unit", "vs_baseline"}`` (small enough for any
+tail-truncating capture); the full record with ``extra`` is printed on the
+preceding line and written to ``BENCH_extra.json`` alongside this file.
+
+Headline metric (BASELINE.json north star): ONE measured warm end-to-end run
+of the full 512^3 VED workload (bf16 vesselness pipeline + hierarchy setup +
+implicit diffusion solve to a 1e-6 relative residual) in seconds on one
+chip; ``vs_baseline`` = 1.0 s target / measured (>1 = beating the 8-chip
+target on one chip).  The red-black Gauss-Seidel smoother throughput study
+(voxel-updates/s/chip on a 3D 19-point-stencil operator, below) rides along
+in ``extra`` and becomes the headline if the VED run fails.
 
 ``vs_baseline`` is the fraction of the HBM-bandwidth speed-of-light for the
 sweep on this chip: one RBGS sweep = two half-sweeps, each streaming the 19
@@ -320,39 +325,57 @@ def _run_solve(n: int) -> dict:
     res = None
 
     # Galerkin coarse operators (BASELINE config: "256^3 V-cycle with
-    # Galerkin coarse operators"): compressed fine level + R A P coarse chain
+    # Galerkin coarse operators"): compressed fine level + closed-form direct
+    # assembly (ops.galerkin_direct) of the coarse chain.  Two variants:
+    # 'exact' (radius-2, up to 117/125 planes per level) and 'collapsed'
+    # (radius-1 lumping, Pallas-eligible levels — the production fast path).
+    # Headline fields: galerkin_setup_warm_s = exact assembly (the oracle
+    # operator), galerkin_solve_to_1e-6_s = collapsed solve, with the exact
+    # solve and both cycle counts alongside for convergence-parity evidence.
     hier = None
-    cfg_g = MADConfig(
-        time_step=0.1, tolerance=1e-6, max_cycles=50,
-        operator_repr="compressed", use_pallas=True, coarse_operator="galerkin",
-    )
-    builder_g = _compiled_hierarchy_builder(
-        levels, cfg_g.time_step, "galerkin", "compressed"
-    )
     tensor2 = make_inputs(jax.random.PRNGKey(0))[0]
-    t0 = time.perf_counter()
-    hier = builder_g(tensor2)
-    force(hier)
-    out["galerkin_setup_s"] = time.perf_counter() - t0  # compile + first run
-    hier = None
-    t0 = time.perf_counter()
-    hier = builder_g(tensor2)
-    force(hier)
-    out["galerkin_setup_warm_s"] = time.perf_counter() - t0
-    tensor2 = None
-    solver_g = _compiled_solver(levels, cfg_g)
-
-    def run_g():
+    for variant in ("exact", "collapsed"):
+        tag = "galerkin" if variant == "exact" else "galerkin_collapsed"
+        cfg_g = MADConfig(
+            time_step=0.1, tolerance=1e-6, max_cycles=50,
+            operator_repr="compressed", use_pallas=True,
+            coarse_operator="galerkin", galerkin_variant=variant,
+        )
+        builder_g = _compiled_hierarchy_builder(
+            levels, cfg_g.time_step, "galerkin", "compressed", variant
+        )
+        hier = None
         t0 = time.perf_counter()
-        r = solver_g(hier, b)
-        float(np.asarray(r.output.ravel()[0]))
-        return time.perf_counter() - t0, r
+        hier = builder_g(tensor2)
+        force(hier)
+        out[f"{tag}_setup_s"] = time.perf_counter() - t0  # compile + first
+        hier = None
+        t0 = time.perf_counter()
+        hier = builder_g(tensor2)
+        force(hier)
+        out[f"{tag}_setup_warm_s"] = time.perf_counter() - t0
+        solver_g = _compiled_solver(levels, cfg_g)
 
-    run_g()
-    g_s, res = min((run_g() for _ in range(2)), key=lambda t: t[0])
-    out["galerkin_solve_to_1e-6_s"] = g_s
-    out["galerkin_cycles"] = int(res.num_cycles[0])
-    out["galerkin_relres"] = float(res.final_residual[0])
+        def run_g():
+            t0 = time.perf_counter()
+            r = solver_g(hier, b)
+            float(np.asarray(r.output.ravel()[0]))
+            return time.perf_counter() - t0, r
+
+        run_g()
+        g_s, res = min((run_g() for _ in range(2)), key=lambda t: t[0])
+        out[f"{tag}_solve_to_1e-6_s"] = g_s
+        out[f"{tag}_cycles"] = int(res.num_cycles[0])
+        out[f"{tag}_relres"] = float(res.final_residual[0])
+        hier = None
+    tensor2 = None
+    # the production Galerkin number: collapsed solve over the DCA solve
+    out["galerkin_solve_over_dca"] = (
+        out["galerkin_collapsed_solve_to_1e-6_s"] / out["vcycle_solve_to_1e-6_s"]
+    )
+    out["galerkin_exact_solve_over_dca"] = (
+        out["galerkin_solve_to_1e-6_s"] / out["vcycle_solve_to_1e-6_s"]
+    )
     return out
 
 
@@ -525,84 +548,138 @@ def _run_ved(n: int) -> dict:
         + min(out["ved_solve_to_1e-6_s"], out["ved_solve_bf16_to_1e-6_s"])
     )
     # best supported configuration (smooth_fd Hessian + bf16-storage
-    # pipeline + bf16 defect cycles)
+    # pipeline + bf16 defect cycles), composed from the per-phase times
     out["ved_total_best_s"] = (
         min(out["ved_pipeline_s"], out["ved_pipeline_fd_s"],
             out["ved_pipeline_bf16_s"])
         + out["ved_setup_s"]
         + min(out["ved_solve_to_1e-6_s"], out["ved_solve_bf16_to_1e-6_s"])
     )
+
+    # --- the HEADLINE number (VERDICT r2 item 4): ONE warm end-to-end run of
+    # the full claimed configuration — bf16-storage smooth_fd vesselness
+    # pipeline -> compressed hierarchy build -> Pallas + bf16-defect solve —
+    # where the solve consumes THIS run's tensor and only the final output
+    # forces a host transfer.  The composed per-phase sum above stays as the
+    # cross-check (ved_e2e_over_phase_sum ~ 1).
+    hier = None
+    res = None
+
+    def e2e_once():
+        t0 = time.perf_counter()
+        resp, t = pipeline_bf16(u)
+        resp = None
+        h = builder(t)
+        t = None  # free the tensor before the solve's working set peaks
+        r = solver16(h, u)
+        float(np.asarray(r.output.ravel()[0]))  # force completion
+        return time.perf_counter() - t0, r
+
+    times = []
+    for _ in range(3):
+        res = None
+        dt, res = e2e_once()
+        times.append(dt)
+    out["ved_e2e_compile_plus_first_s"] = times[0]
+    out["ved_e2e_single_call_s"] = min(times[1:])
+    out["ved_e2e_cycles"] = int(res.num_cycles[0])
+    out["ved_e2e_relres"] = float(res.final_residual[0])
+    phase_sum = (
+        out["ved_pipeline_bf16_s"] + out["ved_setup_s"]
+        + out["ved_solve_bf16_to_1e-6_s"]
+    )
+    out["ved_e2e_over_phase_sum"] = out["ved_e2e_single_call_s"] / phase_sum
     return out
 
 
-def _run_weak_scaling(per_chip: int = 32, max_devices: int = 8) -> dict:
+def _run_weak_scaling(per_chip_sizes=(64, 128), max_devices: int = 8) -> dict:
     """Weak-scaling study on the virtual CPU device mesh: a fixed per-chip
-    block (per_chip^3), 1 -> max_devices chips along one axis, timing the
-    distributed-fast-path sweep (compressed + Pallas-interpret + overlap slab
-    splice).  On virtual devices all "chips" share the host's cores, so the
-    absolute numbers measure *plumbing* (shard_map/ppermute/splice overhead
-    scaling), not ICI — the real-hardware protocol is documented in
-    parallel/sharding.py (multi-host section).  Must run in a process where
+    block (per_chip^3), 1 -> max_devices chips along one axis, timing a FULL
+    MAD V-cycle solve (fixed 2 cycles: smoothing, transfers, coarse solve,
+    residuals) on the gspmd and explicit-halo (overlap) paths — not bare
+    sweeps, whose ~100 us duration at 32^3 only measured fixed dispatch
+    overhead (VERDICT r2 weak #3).  On virtual devices all "chips" share the
+    host's cores, so perfect weak scaling is t_c = c * t_1 and the plumbing
+    efficiency is t_1 * c / t_c; on real hardware (c real chips) the
+    conventional t_1 / t_c applies.  Must run in a process where
     JAX_PLATFORMS=cpu and xla_force_host_platform_device_count are set."""
     import jax
     import jax.numpy as jnp
-    from jax.sharding import PartitionSpec
 
-    from multigridanisotropicdiffusion_tpu.ops.compressed import (
-        assemble_compressed_dca,
+    from multigridanisotropicdiffusion_tpu.core.grids import (
+        build_level_descriptors,
     )
-    from multigridanisotropicdiffusion_tpu.parallel.halo import (
-        make_halo_rbgs_sweep,
+    from multigridanisotropicdiffusion_tpu.models.mad import (
+        MADConfig,
+        _compiled_hierarchy_builder,
+        mad_diffusion,
     )
     from multigridanisotropicdiffusion_tpu.parallel.sharding import make_grid_mesh
 
-    dtype = jnp.float32
-    out = {"per_chip_block": per_chip, "platform": jax.default_backend()}
-    results = {}
+    out = {
+        "per_chip_blocks": list(per_chip_sizes),
+        "platform": jax.default_backend(),
+        "workload": "2 V-cycles of the full MAD solve (compressed operator)",
+    }
     n_avail = len(jax.devices())
     counts = [c for c in (1, 2, 4, 8) if c <= min(max_devices, n_avail)]
-    for c in counts:
-        shape = (per_chip * c, per_chip, per_chip)
-        rng = np.random.default_rng(0)
-        a = rng.normal(size=(3, 3, *shape)).astype(np.float32)
-        full = np.einsum("ik...,jk...->ij...", a, a)
-        for d in range(3):
-            full[d, d] += 2.0
-        tensor = tuple(
-            jnp.asarray(full[i, j])
-            for i, j in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
-        )
-        comp = assemble_compressed_dca(tensor, (1.0,) * 3, 0.1)
-        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
-        b = jnp.asarray(rng.normal(size=shape).astype(np.float32))
-        mesh = make_grid_mesh(3, devices=jax.devices()[:c], mesh_shape=(c, 1, 1))
-        spec = PartitionSpec("x", None, None)
-        # the XLA halo path (interpret-mode Pallas on CPU is orders of
-        # magnitude slower than the XLA sweep and would measure the
-        # interpreter, not the plumbing)
-        sweep = make_halo_rbgs_sweep(mesh, spec, True)
-
-        @jax.jit
-        def sweeps(comp, x, b):
-            return jax.lax.fori_loop(
-                0, 5, lambda i, x: sweep(comp, x, b), x
+    # exactly 2 cycles: tolerance 0 can't be met, max_cycles stops the loop
+    base = dict(time_step=0.1, tolerance=0.0, max_cycles=2,
+                operator_repr="compressed")
+    for per_chip in per_chip_sizes:
+        results = {}
+        for c in counts:
+            shape = (per_chip * c, per_chip, per_chip)
+            rng = np.random.default_rng(0)
+            a = rng.normal(size=(3, 3, *shape)).astype(np.float32)
+            full = np.einsum("ik...,jk...->ij...", a, a)
+            for d in range(3):
+                full[d, d] += 2.0
+            tensor = tuple(
+                jnp.asarray(full[i, j])
+                for i, j in ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+            )
+            del a, full
+            img = jnp.asarray(
+                rng.normal(size=shape).astype(np.float32) * 10.0
+            )
+            levels = build_level_descriptors(shape, (1.0,) * 3)
+            builder = _compiled_hierarchy_builder(levels, 0.1, "dca",
+                                                  "compressed")
+            hier = builder(tensor)
+            mesh = make_grid_mesh(
+                3, devices=jax.devices()[:c], mesh_shape=(c, 1, 1)
+            )
+            from multigridanisotropicdiffusion_tpu.models.mad import (
+                _compiled_solver,
+            )
+            from multigridanisotropicdiffusion_tpu.parallel.sharding import (
+                shard_field,
+                shard_hierarchy,
             )
 
-        y = sweeps(comp, x, b)
-        y.block_until_ready()  # compile + warm
-        t0 = time.perf_counter()
-        sweeps(comp, x, b).block_until_ready()
-        results[c] = (time.perf_counter() - t0) / 5
-    out["sweep_s_by_chips"] = results
-    if 1 in results:
-        # on a shared-host virtual mesh, c "chips" run c-times the work on
-        # the same silicon — perfect weak scaling is t_c = c * t_1, so the
-        # plumbing efficiency (shard_map/ppermute/splice overhead) is
-        # t_1 * c / t_c.  On real hardware (c real chips) the conventional
-        # t_1 / t_c applies; see the multi-host notes in parallel/sharding.
-        out["plumbing_efficiency_by_chips"] = {
-            c: results[1] * c / results[c] for c in results
-        }
+            hier_s = shard_hierarchy(hier, levels, mesh, 8)
+            b = shard_field(img, mesh, 8)
+            for halo in ("gspmd", "overlap"):
+                cfg = MADConfig(halo=halo, **base)
+                solver = _compiled_solver(levels, cfg, mesh, 8)
+
+                def run():
+                    t0 = time.perf_counter()
+                    r = solver(hier_s, b)
+                    r.output.block_until_ready()
+                    return time.perf_counter() - t0
+
+                run()  # compile + warm
+                results.setdefault(halo, {})[c] = min(run() for _ in range(2))
+            hier = hier_s = tensor = img = b = None
+        block = {"solve_s_by_chips": results}
+        for halo, res in results.items():
+            if 1 in res:
+                block[f"{halo}_plumbing_efficiency_by_chips"] = {
+                    c: res[1] * c / res[c] for c in res
+                }
+        out[f"block_{per_chip}"] = block
     return out
 
 
@@ -783,9 +860,9 @@ def main():
     if solve_info is None:
         errors["solve_256"] = out[-1500:]
 
-    # 4) weak-scaling plumbing study on the virtual CPU mesh
+    # 4) weak-scaling study (full V-cycle solves) on the virtual CPU mesh
     weak, out = run_sub(
-        [sys.executable, __file__, "--single", "0", "--weak-only"], 900,
+        [sys.executable, __file__, "--single", "0", "--weak-only"], 2400,
         env={
             "JAX_PLATFORMS": "cpu",
             "XLA_FLAGS": (os.environ.get("XLA_FLAGS", "")
@@ -810,20 +887,33 @@ def main():
         "errors": errors or None,
     }
     if ved is not None:
-        total = ved["ved_total_best_s"]
+        # headline = ONE measured warm end-to-end run (bf16 pipeline ->
+        # setup -> Pallas bf16-defect solve); the composed phase sum rides
+        # along in extra for the cross-check
+        total = ved.get("ved_e2e_single_call_s", ved["ved_total_best_s"])
         extra["north_star"] = ("BASELINE.json: 512^3 VED to 1e-6 in <1 s on "
                                "v5e-8; this measurement uses ONE chip")
         extra["ved"] = ved
-        print(json.dumps({
+        headline = {
             "metric": "ved_512^3_solve_to_1e-6_total_s_one_chip",
             "value": total,
             "unit": "s",
             "vs_baseline": 1.0 / total,
-            "extra": extra,
-        }))
-        return
-    smoother["extra"] = {**smoother.get("extra", {}), **extra}
-    print(json.dumps(smoother))
+        }
+    else:
+        headline = {k: smoother[k] for k in
+                    ("metric", "value", "unit", "vs_baseline")}
+        extra = {**smoother.get("extra", {}), **extra}
+
+    # Full record: side file + a PRECEDING stdout line.  The compact headline
+    # dict goes LAST so any tail-truncating/line-parsing driver captures it
+    # (VERDICT r2 weak #1: the ~4.4 kB single-line form outgrew the driver's
+    # tail twice).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_extra.json"), "w") as f:
+        json.dump({**headline, "extra": extra}, f)
+    print(json.dumps({**headline, "extra": extra}))
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":
