@@ -104,8 +104,8 @@ class MADConfig:
     #:                 concurrently with the exchange and only the 1-voxel
     #:                 boundary slabs wait on the halos.
     #: shard_map/overlap require operator_repr='stored' or 'compressed' and a
-    #: GS/Jacobi smoother (compressed + use_pallas = the distributed fast
-    #: path).
+    #: GS/Jacobi/Chebyshev smoother (compressed + use_pallas = the
+    #: distributed fast path).
     halo: str = "gspmd"
     #: print the per-cycle relative-residual trace to stdout (reference
     #: SetVerbose, itkMultigridAnisotropicDiffusionImageFilter.h:154-158).

@@ -58,7 +58,9 @@ PROBE_BATCH = 16
 #: prod(2r+1) full fine-grid applies and dominates setup at scale, while the
 #: direct path is O(K) strided plane contractions; below the threshold the
 #: compact probe program compiles faster and runtime is negligible.
-DIRECT_MIN_FINE_VOXELS = 1 << 21
+#: (64^3 = 262144 still gains ~4x from direct assembly on TPU — the 256^3
+#: hierarchy's level-2 transition probes at ~160 ms vs ~40 ms direct.)
+DIRECT_MIN_FINE_VOXELS = 1 << 18
 
 
 def galerkin_offsets(centering: Sequence[str], fine_radii: Sequence[int]):

@@ -208,3 +208,24 @@ def test_collapsed_variant_converges_3d(rng):
                     galerkin_variant="collapsed")
     res = mad_diffusion(image, tensor, spacing=(1.0, 0.5, 2.0), config=cfg)
     assert float(res.final_residual[0]) <= 1e-10
+
+
+def test_direct_conv_interior_matches_probe(rng, monkeypatch):
+    """The large-array conv formulation of the banded interior (minor axes)
+    must agree with the slice form / probe path — force it on by dropping
+    the size gate."""
+    from multigridanisotropicdiffusion_tpu.ops import galerkin_direct
+
+    monkeypatch.setattr(galerkin_direct, "_CONV_MIN_ELEMENTS", 0)
+    shape = (12, 14, 16)
+    centering = (CELL, CELL, CELL)
+    tensor = make_spd_tensor_field(rng, shape, 3, hi=3.0)
+    fine_op = assemble_dca(as_sym_planes(tensor, shape), (1.0,) * 3, 0.1)
+    probe = assemble_galerkin(fine_op, centering, method="probe")
+    direct = assemble_galerkin(fine_op, centering, method="direct")
+    assert direct.offsets == probe.offsets
+    for off, cp, cd in zip(probe.offsets, probe.coeffs, direct.coeffs):
+        np.testing.assert_allclose(
+            np.asarray(cd), np.asarray(cp), rtol=1e-12, atol=1e-13,
+            err_msg=str(off),
+        )
