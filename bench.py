@@ -787,7 +787,6 @@ def main():
             subprocess.run(cmd, timeout=3000)
         return
 
-    with_solve = "--solve" in args
     sizes = [int(s) for s in args if s.isdigit()] or [256, 128]
     import tempfile
 
@@ -840,12 +839,13 @@ def main():
         errors[f"ved_attempt_{attempt}"] = out[-1500:]
         ved = None
 
-    # 2) smoother-throughput study (rides in extra; fallback headline)
+    # 2) smoother-throughput study (rides in extra; fallback headline).
+    # NOTE: never pass --solve here — the solve/Galerkin study runs in its
+    # own subprocess below (step 3); combining both in one process OOMs the
+    # 16 GB chip at 256^3 (smoother operands + Galerkin assembly transients).
     smoother = None
     for n in sizes:
         cmd = [sys.executable, __file__, "--single", str(n)]
-        if with_solve:
-            cmd.append("--solve")
         smoother, out = run_sub(cmd, 3000)
         if smoother is not None:
             break

@@ -68,6 +68,7 @@ class VEDConfig:
     smoother: str = "gauss_seidel"
     max_cycles: int = 100  # hardcoded in DiffusionStep (.hxx:396)
     coarse_operator: str = "dca"
+    galerkin_variant: str = "exact"  # see MADConfig.galerkin_variant
     operator_repr: str = "stored"
     matrix_free: bool = False
     use_pallas: bool = False
@@ -117,6 +118,7 @@ class VEDConfig:
             max_cycles=self.max_cycles,
             smoother=self.smoother,
             coarse_operator=self.coarse_operator,
+            galerkin_variant=self.galerkin_variant,
             operator_repr=self.operator_repr,
             matrix_free=self.matrix_free,
             use_pallas=self.use_pallas,

@@ -52,7 +52,17 @@ def test_lena_matches_golden():
 )
 def test_ved_volume_matches_golden():
     """Full VED on the real 69x77x69 angiography volume vs the
-    lexicographic-GS golden (itkVEDTest_GS workload parameters)."""
+    lexicographic-GS golden (itkVEDTest_GS workload parameters).
+
+    Caveat (VERDICT r2 weak #7): the golden swaps in the reference-semantics
+    *solver* (sequential lexicographic GS) but reuses this repo's own
+    Hessian/eig/vesselness pipeline, so this test pins solver ordering, NOT
+    the vesselness stages — a bug shared by both paths would pass.  Those
+    stages are covered separately by their unit oracles: the analytic 3x3
+    eigensolver vs LAPACK (tests/test_eigen3.py), the Gaussian-derivative
+    Hessian vs dense FIR/analytic derivatives (tests/test_hessian.py), and
+    the vesselness formula vs a literal transcription of
+    itkVEDMultigridImageFilter.hxx:176-212 (tests/test_ved.py)."""
     from multigridanisotropicdiffusion_tpu.utils.io import read_meta_image
 
     g = np.load(os.path.join(GOLDEN_DIR, "ved_gs_v.npz"))
