@@ -574,9 +574,11 @@ def _make_halo_ops(mesh, shapes: Tuple[Tuple[int, ...], ...], min_local: int,
     }
 
     def _pallas_dispatch(op, x) -> bool:
+        # max_radius=1: the shard-local masked kernels are radius-1 only;
+        # exact-Galerkin radius-2 levels take the XLA halo path here
         from ..ops.pallas_smoothers import pallas_compatible
 
-        return use_pallas and pallas_compatible(op)
+        return use_pallas and pallas_compatible(op, max_radius=1)
 
     if config.smoother in ("gauss_seidel", "gs", "rbgs"):
         def smooth(op, x, b):

@@ -80,11 +80,12 @@ def pick_y_tile(
     return best
 
 
-def _n_blocks_stored(n_offsets: int) -> int:
+def _n_blocks_stored(n_offsets: int, rz: int = 1) -> int:
     """Block count of the stored-operator kernel: K coefficient planes
-    (incl. diag) + 3 x z-positions + b + out (full-plane case; the tiled
-    case adds 6 halo blocks — small, covered by the 12 MB headroom)."""
-    return n_offsets + 5
+    (incl. diag) + (2 rz + 1) x z-positions + b + out (full-plane case; the
+    tiled case adds 2 halo blocks per z-position — small, covered by the
+    12 MB headroom)."""
+    return n_offsets + (2 * rz + 1) + 2
 
 
 def _roll(a: jnp.ndarray, shift: int, axis: int) -> jnp.ndarray:
@@ -190,6 +191,8 @@ def _stencil_kernel(
     y: int,
     nz: int,
     local_mask: bool,
+    rz: int,
+    ry: int,
     *refs,
 ):
     """Shared kernel body: assemble shifted x-views, contract, emit output.
@@ -197,7 +200,9 @@ def _stencil_kernel(
     ``refs[:n_coeff]`` are the coefficient blocks (diag LAST); ``contract``
     computes the off-diagonal sum from the non-diag coefficients and the
     shifted-view accessor ``sh``; ``mask_fn`` is the local-shell masking for
-    the shard-local (distributed) form.
+    the shard-local (distributed) form.  ``rz``/``ry`` are the z/y stencil
+    radii (1 for the compressed/radius-1 forms, up to 2 for exact Galerkin
+    coarse operators); x shifts are pure lane rotations at any radius.
     ``emit(off, xc_blk, coeff_refs, b_ref, out_ref, k, j)`` writes the block.
     """
     k = pl.program_id(0)
@@ -209,50 +214,55 @@ def _stencil_kernel(
         return a.astype(jnp.float32) if a.dtype == jnp.bfloat16 else a
 
     coeff_refs = refs[:n_coeff]
+    zrange = range(-rz, rz + 1)
     if full_plane:
-        xzm, xc, xzp, b, out = refs[n_coeff:]
-        planes = {-1: up(xzm[...]), 0: up(xc[...]), 1: up(xzp[...])}
+        xz = refs[n_coeff : n_coeff + len(zrange)]
+        b, out = refs[n_coeff + len(zrange) :]
+        planes = {dz: up(r[...]) for dz, r in zip(zrange, xz)}
 
         def sh(zpos, dy, dx):
             return _roll(_roll(planes[zpos], dy, 1), dx, 2)
 
         xc_blk = planes[0]
     else:
-        (xzm, xzm_t, xzm_b, xc, xc_t, xc_b, xzp, xzp_t, xzp_b, b, out) = refs[n_coeff:]
+        xz = refs[n_coeff : n_coeff + 3 * len(zrange)]
+        b, out = refs[n_coeff + 3 * len(zrange) :]
 
         if aligned:
-            # granule-row halo blocks: the top block's LAST row is global row
-            # j*ty - 1, the bottom block's FIRST row is (j+1)*ty.  At domain
-            # borders the blocks are index-clamped and carry garbage, which
-            # every use multiplies by an exactly-zero folded coefficient.
-            top_row = lambda t: t[:, hh - 1 : hh, :]
-            bot_row = lambda t: t[:, 0:1, :]
+            # granule-row halo blocks: the top block's LAST ry rows are the
+            # global rows j*ty - ry .. j*ty - 1, the bottom block's FIRST ry
+            # rows are (j+1)*ty ...  At domain borders the blocks are
+            # index-clamped and carry garbage, which every use multiplies by
+            # an exactly-zero folded/structural coefficient.
+            top_rows = lambda t: t[:, hh - ry : hh, :]
+            bot_rows = lambda t: t[:, 0:ry, :]
         else:
             # full-axis halo blocks (y not granule-aligned, interpret/fallback
             # path): pick the exact global rows dynamically
-            top_row = lambda t: jax.lax.dynamic_slice_in_dim(
-                t[...], jnp.maximum(j * ty - 1, 0), 1, axis=1
+            top_rows = lambda t: jax.lax.dynamic_slice_in_dim(
+                t[...], jnp.maximum(j * ty - ry, 0), ry, axis=1
             )
-            bot_row = lambda t: jax.lax.dynamic_slice_in_dim(
-                t[...], jnp.minimum((j + 1) * ty, y - 1), 1, axis=1
+            bot_rows = lambda t: jax.lax.dynamic_slice_in_dim(
+                t[...], jnp.minimum((j + 1) * ty, y - ry), ry, axis=1
             )
 
         def padded(main, top, bot):
-            # (1, TY + 2, X): y-halo rows stitched around the main block
+            # (1, TY + 2 ry, X): y-halo rows stitched around the main block
             return up(
-                jnp.concatenate([top_row(top), main[...], bot_row(bot)], axis=1)
+                jnp.concatenate(
+                    [top_rows(top), main[...], bot_rows(bot)], axis=1
+                )
             )
 
         planes = {
-            -1: padded(xzm, xzm_t, xzm_b),
-            0: padded(xc, xc_t, xc_b),
-            1: padded(xzp, xzp_t, xzp_b),
+            dz: padded(xz[3 * i], xz[3 * i + 1], xz[3 * i + 2])
+            for i, dz in enumerate(zrange)
         }
 
         def sh(zpos, dy, dx):
-            return _roll(planes[zpos][:, 1 + dy : 1 + dy + ty, :], dx, 2)
+            return _roll(planes[zpos][:, ry + dy : ry + dy + ty, :], dx, 2)
 
-        xc_blk = planes[0][:, 1 : 1 + ty, :]
+        xc_blk = planes[0][:, ry : ry + ty, :]
 
     coeffs = tuple(up(r[...]) for r in coeff_refs[: n_coeff - 1])
     diag = up(coeff_refs[n_coeff - 1][...])
@@ -303,43 +313,53 @@ def _build_stencil_pass(shape: Tuple[int, ...], dtype_name: str, kind: str,
     halo = (1, hh, x)
     nh = ty // hh if aligned else 0  # halo blocks per tile (8-aligned case)
 
-    def zc(k):
-        return k
-
-    def zm(k):
-        return jnp.maximum(k - 1, 0)
-
-    def zp(k):
-        return jnp.minimum(k + 1, z - 1)
-
-    def main_at(zf):
-        return pl.BlockSpec(main, lambda k, j, zf=zf: (zf(k), j, 0))
-
-    def top_at(zf):
-        # the hh-row block whose LAST row is global row j*ty - 1 (block
-        # index j*ty/hh - 1), clamped into range at the j == 0 border
-        return pl.BlockSpec(
-            halo, lambda k, j, zf=zf: (zf(k), jnp.maximum(j * nh - 1, 0), 0)
+    if offsets is None:
+        radii = (1, 1, 1)
+    else:
+        radii = tuple(
+            max(abs(off[d]) for off in offsets) for d in range(3)
+        )
+    rz, ry = radii[0], radii[1]
+    if local_mask and radii != (1, 1, 1):
+        raise ValueError(
+            "local_mask (the shard-local distributed form) supports radius-1 "
+            f"operators only (got per-dim radii {radii})"
         )
 
-    def bot_at(zf):
-        # the hh-row block whose FIRST row is global row (j+1)*ty, clamped
+    def z_at(dz):
+        return lambda k, j, dz=dz: jnp.clip(k + dz, 0, z - 1)
+
+    def main_at(dz):
+        zf = z_at(dz)
+        return pl.BlockSpec(main, lambda k, j, zf=zf: (zf(k, j), j, 0))
+
+    def top_at(dz):
+        # the hh-row block whose LAST ry rows are global rows j*ty - ry ..
+        # j*ty - 1 (block index j*ty/hh - 1), clamped into range at j == 0
+        zf = z_at(dz)
+        return pl.BlockSpec(
+            halo, lambda k, j, zf=zf: (zf(k, j), jnp.maximum(j * nh - 1, 0), 0)
+        )
+
+    def bot_at(dz):
+        # the hh-row block whose FIRST ry rows start at global row (j+1)*ty
+        zf = z_at(dz)
         return pl.BlockSpec(
             halo,
-            lambda k, j, zf=zf: (zf(k), jnp.minimum((j + 1) * nh, y // hh - 1), 0),
+            lambda k, j, zf=zf: (
+                zf(k, j), jnp.minimum((j + 1) * nh, y // hh - 1), 0
+            ),
         )
 
     coeff_spec = pl.BlockSpec(main, lambda k, j: (k, j, 0))
+    zrange = range(-rz, rz + 1)
     if full_plane:
-        x_specs = [main_at(zm), main_at(zc), main_at(zp)]
-        n_x = 3
+        x_specs = [main_at(dz) for dz in zrange]
     else:
-        x_specs = [
-            main_at(zm), top_at(zm), bot_at(zm),
-            main_at(zc), top_at(zc), bot_at(zc),
-            main_at(zp), top_at(zp), bot_at(zp),
-        ]
-        n_x = 9
+        x_specs = []
+        for dz in zrange:
+            x_specs += [main_at(dz), top_at(dz), bot_at(dz)]
+    n_x = len(x_specs)
 
     if offsets is None:
         n_coeff = 10
@@ -361,7 +381,7 @@ def _build_stencil_pass(shape: Tuple[int, ...], dtype_name: str, kind: str,
 
     kernel = functools.partial(
         _stencil_kernel, emit, contract, mask_fn, n_coeff, ty, hh, aligned,
-        full_plane, y, z, local_mask,
+        full_plane, y, z, local_mask, rz, ry,
     )
     call = pl.pallas_call(
         kernel,
@@ -400,18 +420,23 @@ def _kernel_offsets(op):
 def _op_n_blocks(op) -> int:
     if isinstance(op, CompressedDCAOperator):
         return _N_BLOCKS_COMPRESSED
-    return _n_blocks_stored(len(op.offsets))
+    rz = max(abs(off[0]) for off in op.offsets)
+    return _n_blocks_stored(len(op.offsets), rz)
 
 
-def pallas_compatible(op) -> bool:
+def pallas_compatible(op, max_radius: int = 2) -> bool:
     """Whether ``op`` has a fused-kernel form: the compressed DCA operator or
-    any stored radius-1 3D operator (e.g. collapsed Galerkin coarse levels).
-    Tiling feasibility is a separate, shape-level check
-    (:func:`pallas_supports`)."""
+    any stored 3D operator of per-dim radius <= ``max_radius`` (collapsed
+    Galerkin levels are radius 1; exact Galerkin levels reach radius 2 and
+    run the radius-2 kernel variant).  The distributed shard-local form
+    supports radius 1 only — pass ``max_radius=1`` there.  Tiling
+    feasibility is a separate, shape-level check (:func:`pallas_supports`)."""
     if isinstance(op, CompressedDCAOperator):
         return op.ndim == 3
     return (
-        isinstance(op, StencilOperator) and op.ndim == 3 and op.radius == 1
+        isinstance(op, StencilOperator)
+        and op.ndim == 3
+        and 1 <= op.radius <= max_radius
     )
 
 
@@ -469,12 +494,13 @@ def pallas_rbgs_sweep(
     """One red-black GS sweep (red then black half-sweep) via Pallas.
 
     3D only; ``op`` must be :func:`pallas_compatible` (compressed DCA or
-    radius-1 stored, e.g. collapsed Galerkin levels).  Falls back to the XLA
-    sweep when no y-tiling fits the VMEM budget.  ``ty`` overrides the
-    automatic y-tile height (must divide Y)."""
+    stored with per-dim radius <= 2: collapsed Galerkin levels are radius 1,
+    exact Galerkin levels radius 2).  Falls back to the XLA sweep when no
+    y-tiling fits the VMEM budget.  ``ty`` overrides the automatic y-tile
+    height (must divide Y)."""
     if not pallas_compatible(op):
         raise ValueError(
-            "pallas_rbgs_sweep needs a 3D compressed or radius-1 stored "
+            "pallas_rbgs_sweep needs a 3D compressed or radius<=2 stored "
             f"operator (got {op!r})"
         )
     shape = tuple(x.shape)
@@ -508,7 +534,7 @@ def pallas_residual(
     :func:`pallas_supports` first)."""
     if not pallas_compatible(op):
         raise ValueError(
-            "pallas_residual needs a 3D compressed or radius-1 stored "
+            "pallas_residual needs a 3D compressed or radius<=2 stored "
             f"operator (got {op!r})"
         )
     shape = tuple(x.shape)

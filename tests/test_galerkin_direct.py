@@ -229,3 +229,22 @@ def test_direct_conv_interior_matches_probe(rng, monkeypatch):
             np.asarray(cd), np.asarray(cp), rtol=1e-12, atol=1e-13,
             err_msg=str(off),
         )
+
+
+def test_exact_galerkin_solver_with_pallas(rng):
+    """Single-device exact-Galerkin solve with use_pallas: the radius-2
+    coarse levels dispatch to the radius-2 kernel variant and converge to
+    the no-Pallas solution."""
+    shape = (13, 12, 14)
+    tensor = make_spd_tensor_field(rng, shape, 3, hi=2.0)
+    image = rng.normal(size=shape) * 10.0
+    base = MADConfig(time_step=0.1, tolerance=1e-10, coarse_operator="galerkin")
+    ref = mad_diffusion(image, tensor, spacing=(1.0, 0.5, 2.0), config=base)
+    import dataclasses
+
+    cfg = dataclasses.replace(base, operator_repr="compressed", use_pallas=True)
+    got = mad_diffusion(image, tensor, spacing=(1.0, 0.5, 2.0), config=cfg)
+    assert float(got.final_residual[0]) <= 1e-10
+    assert int(got.num_cycles[0]) == int(ref.num_cycles[0])
+    np.testing.assert_allclose(np.asarray(got.output), np.asarray(ref.output),
+                               rtol=1e-9, atol=1e-9)

@@ -206,21 +206,74 @@ def test_pallas_stored_collapsed_galerkin_level(rng):
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
 
 
-def test_pallas_stored_rejects_radius2(rng):
-    """Exact Galerkin levels (radius 2) must not silently reach the radius-1
-    kernel."""
+def test_pallas_stored_radius2_exact_galerkin(rng):
+    """Exact Galerkin levels (radius 2, up to 125 planes) run the radius-2
+    kernel variant (5 z-positions, 2-row y halos, 2-lane rolls) and must
+    agree with the XLA sweep; the distributed shard-local form stays gated
+    to radius 1."""
     from multigridanisotropicdiffusion_tpu.ops.dca import assemble_dca
     from multigridanisotropicdiffusion_tpu.ops.galerkin import assemble_galerkin
     from multigridanisotropicdiffusion_tpu.ops.pallas_smoothers import (
         pallas_compatible,
     )
 
-    shape = (12, 12, 12)
+    shape = (20, 22, 24)
     tensor = make_spd_tensor_field(rng, shape, 3, hi=2.0)
     fine = assemble_dca(as_sym_planes(tensor, shape), (1.0,) * 3, 0.1)
     exact = assemble_galerkin(fine, ("c", "c", "c"))
     assert exact.radius == 2
-    assert not pallas_compatible(exact)
-    with pytest.raises(ValueError):
-        pallas_rbgs_sweep(exact, jnp.zeros(exact.shape), jnp.zeros(exact.shape),
-                          interpret=True)
+    assert pallas_compatible(exact)
+    assert not pallas_compatible(exact, max_radius=1)
+
+    cshape = exact.shape  # (10, 11, 12)
+    x = jnp.asarray(rng.normal(size=cshape))
+    b = jnp.asarray(rng.normal(size=cshape))
+    want = np.asarray(rb_gauss_seidel_sweep(exact, x, b))
+    got = np.asarray(pallas_rbgs_sweep(exact, x, b, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+    want_r = np.asarray(b - exact.apply(x))
+    got_r = np.asarray(pallas_residual(exact, x, b, interpret=True))
+    np.testing.assert_allclose(got_r, want_r, rtol=1e-12, atol=1e-12)
+
+
+def test_pallas_stored_radius2_y_tiled(rng):
+    """Radius-2 kernel with a y-tile smaller than Y: the 2-row halo
+    stitching around each tile."""
+    from multigridanisotropicdiffusion_tpu.core.stencil import (
+        StencilOperator,
+        stencil_offsets,
+    )
+
+    shape = (5, 16, 10)
+    offsets = stencil_offsets(3, 2, drop_corners=False)
+    rng2 = np.random.default_rng(3)
+    planes = []
+    guard = np.zeros(shape)
+    for off in offsets:
+        if all(o == 0 for o in off):
+            planes.append(None)
+            continue
+        p = rng2.normal(size=shape) * 0.05
+        for d, o in enumerate(off):
+            sl = [slice(None)] * 3
+            if o > 0:
+                sl[d] = slice(shape[d] - o, shape[d])
+            elif o < 0:
+                sl[d] = slice(0, -o)
+            else:
+                continue
+            p[tuple(sl)] = 0.0
+        planes.append(p)
+        guard += np.abs(p)
+    center = offsets.index((0, 0, 0))
+    planes[center] = guard + 1.0
+    op = StencilOperator(tuple(jnp.asarray(p) for p in planes), offsets)
+
+    x = jnp.asarray(rng.normal(size=shape))
+    b = jnp.asarray(rng.normal(size=shape))
+    want = np.asarray(rb_gauss_seidel_sweep(op, x, b))
+    for ty in (4, 8, 16):
+        got = np.asarray(pallas_rbgs_sweep(op, x, b, interpret=True, ty=ty))
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12,
+                                   err_msg=f"ty={ty}")
