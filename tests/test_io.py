@@ -150,3 +150,19 @@ def test_2d_driver_side_outputs(tmp_path, rng):
     # the diffusion changed something and the written image reflects it
     assert float(np.abs(img - out).max()) > 1.0
     assert float(np.abs(written - np.clip(out, 0, 255)).mean()) < 10.0
+
+
+def test_read_reference_ved_volume_2():
+    """The reference driver's commented-in second volume
+    (itkVEDTest_GS.cxx:30-31: 134x140x119 at 0.33 isotropic) reads
+    correctly — kept loadable for parity with the full driver surface."""
+    src = read_meta_image(os.path.join(REFERENCE_DATA, "ved_test_2.mhd"))
+    assert src.data.shape == (119, 140, 134)
+    assert np.allclose(src.spacing, (0.330017,) * 3)
+    assert np.isfinite(src.data.astype(np.float64)).all()
+    # real non-identity pose: LPI flips on x and y
+    np.testing.assert_array_equal(
+        src.direction,
+        np.array([[-1.0, 0.0, 0.0], [0.0, -1.0, 0.0], [0.0, 0.0, 1.0]]),
+    )
+    assert src.offset == (-214.984, -76.8094, 501.622)

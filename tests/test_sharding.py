@@ -227,8 +227,14 @@ def test_multihost_entry_points_single_process():
 def test_distributed_collapsed_galerkin_pallas_matches_single(rng):
     """Collapsed Galerkin coarse levels are radius-1 stored operators: they
     must ride the generic Pallas fast path inside shard_map and match the
-    plain single-device collapsed-Galerkin solve."""
-    shape = (32, 32, 32)
+    plain single-device collapsed-Galerkin solve.
+
+    16^3 rather than 32^3: the 3-level 32^3 variant of this solver program
+    reproducibly segfaults XLA's CPU *compiler* when built late in a
+    full-suite process (it compiles and passes in a fresh process — see
+    dryrun stage 4 and the standalone run); the 2-level program avoids the
+    upstream compiler bug while exercising the same dispatch path."""
+    shape = (16, 16, 16)
     tensor = make_spd_tensor_field(rng, shape, 3, hi=2.0)
     image = rng.normal(size=shape) * 10.0
     base = MADConfig(
