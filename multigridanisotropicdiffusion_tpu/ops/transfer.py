@@ -81,11 +81,18 @@ def _restrict_1d_cell(u: jnp.ndarray) -> jnp.ndarray:
 
 def _interleave_last(even: jnp.ndarray, odd: jnp.ndarray, n: int) -> jnp.ndarray:
     """Build an array whose even last-axis entries come from ``even`` and odd
-    ones from ``odd`` (sizes may differ by one)."""
-    out = jnp.zeros(even.shape[:-1] + (n,), even.dtype)
-    out = out.at[..., 0::2].set(even)
-    out = out.at[..., 1::2].set(odd)
-    return out
+    ones from ``odd`` (sizes may differ by one).
+
+    Implemented as stack + reshape — a contiguous (c, 2) -> (2c) merge of
+    adjacent dims — rather than ``zeros().at[::2].set``: the strided lane
+    scatter lowers to shuffles on TPU (measured ~7x slower at 512^3; see the
+    project notes on XLA minor-axis op efficiency)."""
+    ne = even.shape[-1]
+    if odd.shape[-1] < ne:  # vertex: one fewer odd entry
+        pad = [(0, 0)] * (odd.ndim - 1) + [(0, ne - odd.shape[-1])]
+        odd = jnp.pad(odd, pad)
+    out = jnp.stack([even, odd], axis=-1).reshape(even.shape[:-1] + (2 * ne,))
+    return out[..., :n]
 
 
 def _prolong_1d_vertex(u: jnp.ndarray) -> jnp.ndarray:
@@ -109,12 +116,39 @@ def _apply_along_axis(fn, x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.moveaxis(x, -1, axis)
 
 
+#: fields at least this large route per-axis restriction through the banded
+#: conv machinery (ops.galerkin_direct.apply_banded): the stride-2
+#: slice-and-concat form runs at ~30-50 GB/s on TPU minor axes while the
+#: conv-emitter form is 1.8-4.4x faster.  Small fields keep the simple
+#: slice path (bitwise-stable for existing goldens, lighter compiles).
+_CONV_MIN_ELEMENTS = 1 << 22
+
+
+def _restrict_banded(x: jnp.ndarray, centering: Sequence[str]) -> jnp.ndarray:
+    """Large-field restriction via the banded pair-kernel machinery: the
+    1-D operator matrices (restrict_matrix_1d, parity-tested against the
+    functions above) are analyzed into interior-stencil + border-row form
+    and applied with conv interiors on minor axes."""
+    from .galerkin_direct import (
+        analyze_banded,
+        apply_banded,
+        restrict_matrix_1d,
+    )
+
+    for d, cent in enumerate(centering):
+        spec = analyze_banded(restrict_matrix_1d(x.shape[d], cent))
+        x = apply_banded(x, spec, axis=d)
+    return x
+
+
 def restrict(x: jnp.ndarray, centering: Sequence[str]) -> jnp.ndarray:
     """Full-weighting restriction of a fine-grid field.
 
     ``centering[d]`` is the coarse level's centering in dimension ``d``
     (the reference passes ``GetVertexCenteringAtLevel(l+1)``).
     """
+    if x.size >= _CONV_MIN_ELEMENTS:
+        return _restrict_banded(x, centering)
     for d, cent in enumerate(centering):
         fn = _restrict_1d_cell if cent == CELL else _restrict_1d_vertex
         x = _apply_along_axis(fn, x, d)

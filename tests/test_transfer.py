@@ -72,3 +72,34 @@ def test_restrict_tensor_componentwise(rng):
     for g, p in zip(got, planes):
         want = restrict_oracle(np.asarray(p), centering)
         np.testing.assert_allclose(np.asarray(g), want, rtol=1e-12, atol=1e-12)
+
+
+def test_restrict_banded_matches_slice_path(rng):
+    """The large-field banded/conv restriction path must equal the slice
+    path exactly (it is built from the same 1-D operators)."""
+    from multigridanisotropicdiffusion_tpu.ops import transfer as tr
+    from multigridanisotropicdiffusion_tpu.ops.transfer import restrict
+
+    for shape, cent in [
+        ((16, 17, 18), ("c", "v", "c")),
+        ((33, 32), ("v", "c")),
+        ((12, 14, 16), ("c", "c", "c")),
+    ]:
+        x = jnp.asarray(rng.normal(size=shape))
+        want = np.asarray(restrict(x, cent))
+        got = np.asarray(tr._restrict_banded(x, cent))
+        np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-14,
+                                   err_msg=str((shape, cent)))
+
+
+def test_restrict_banded_conv_interior(rng, monkeypatch):
+    """Same equivalence with the conv interior forced on (the TPU form for
+    large minor-axis interiors)."""
+    from multigridanisotropicdiffusion_tpu.ops import galerkin_direct, transfer
+
+    monkeypatch.setattr(galerkin_direct, "_CONV_MIN_ELEMENTS", 0)
+    shape, cent = (16, 18, 20), ("c", "c", "c")
+    x = jnp.asarray(rng.normal(size=shape))
+    want = np.asarray(transfer.restrict(x, cent))
+    got = np.asarray(transfer._restrict_banded(x, cent))
+    np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-14)
