@@ -333,6 +333,28 @@ def assemble_galerkin_direct(
         cur = arrays[0] if len(arrays) == 1 else jnp.concatenate(arrays, 0)
         return cur, new_meta
 
+    def reduce_rows(cur, meta, d_next):
+        """Sum-factorization: every later stage depends only on the fine
+        offset's remaining components ``a[d_next:]`` and the coarse prefix,
+        and is linear — so rows sharing that key are summed NOW, collapsing
+        the stacked row count (e.g. 117-plane deep levels: ~400-row stage
+        stacks shrink to ~25) before the next axis pass."""
+        key = lambda m: (m[0][d_next:], m[1])
+        cur, meta = _sorted_regroup(cur, meta, key=key)
+        keys = [key(m) for m in meta]
+        segs = _segments(keys)
+        if len(segs) == len(meta):
+            return cur, meta
+        arrays, new_meta = [], []
+        for _, s, e in segs:
+            arrays.append(
+                cur[s : s + 1] if e == s + 1 else jnp.sum(cur[s:e], axis=0,
+                                                          keepdims=True)
+            )
+            new_meta.append(meta[s])
+        cur = arrays[0] if len(arrays) == 1 else jnp.concatenate(arrays, 0)
+        return cur, new_meta
+
     # per-a_0 plane stacks, built ONCE and reused across the O_0 chunks
     # below (re-stacking per chunk cost ~3 GB of pure copies at 256^3)
     group_stacks = {}
@@ -355,16 +377,17 @@ def assemble_galerkin_direct(
         if not arrays:
             continue
         cur = arrays[0] if len(arrays) == 1 else jnp.concatenate(arrays, 0)
+        cur, meta = reduce_rows(cur, meta, 1)
         for d in range(1, ndim):
             cur, meta = axis_stage(cur, meta, d, d)
             if cur is None:
                 break
+            cur, meta = reduce_rows(cur, meta, d + 1)
         if cur is None:
             continue
-        # accumulate rows into coarse planes, grouped by full coarse offset
-        cur, meta = _sorted_regroup(cur, meta, key=lambda m: m[1])
-        for o_full, s, e in _segments([m[1] for m in meta]):
-            plane = cur[s] if e == s + 1 else jnp.sum(cur[s:e], axis=0)
+        # after the last reduction each row IS one full-offset plane
+        for i, (a, o_full) in enumerate(meta):
+            plane = cur[i]
             if o_full in acc:
                 acc[o_full] = acc[o_full] + plane
             else:

@@ -117,11 +117,13 @@ def _apply_along_axis(fn, x: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 
 #: fields at least this large route per-axis restriction through the banded
-#: conv machinery (ops.galerkin_direct.apply_banded): the stride-2
-#: slice-and-concat form runs at ~30-50 GB/s on TPU minor axes while the
-#: conv-emitter form is 1.8-4.4x faster.  Small fields keep the simple
-#: slice path (bitwise-stable for existing goldens, lighter compiles).
-_CONV_MIN_ELEMENTS = 1 << 22
+#: conv machinery (ops.galerkin_direct.apply_banded).  Measured: the banded
+#: form wins STANDALONE (36 -> 32 ms per 512^3 restrict+prolong pair) but
+#: LOSES inside the fused V-cycle programs (256^3 DCA solve 0.077 -> 0.116 s
+#: — XLA already schedules the slice form well there and the banded concat
+#: breaks its fusions), so it is disabled by default; kept selectable for
+#: standalone/offline restriction work.
+_CONV_MIN_ELEMENTS = 1 << 62
 
 
 def _restrict_banded(x: jnp.ndarray, centering: Sequence[str]) -> jnp.ndarray:
