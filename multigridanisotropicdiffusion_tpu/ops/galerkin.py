@@ -7,7 +7,13 @@ border cases (doc/html/itk_coarse_grid_operators_generator_8hxx_source.html:
 370-780; cell-centered coarsening grows the stencil radius 1 -> 2, doc
 hxx:410-427).
 
-TPU-native approach: **comb probing**.  ``A_c`` is a stencil operator whose
+Two TPU-native assembly paths: **closed-form direct plane arithmetic**
+(:mod:`.galerkin_direct` — per-dim banded pair kernels with
+sum-factorization; the production path for large grids, ~20x faster than
+probing at 256^3) and **comb probing** (below — the compact oracle used for
+small grids and as the cross-check the direct path is tested against).
+
+Comb probing: ``A_c`` is a stencil operator whose
 per-dimension radius follows from the 1-D supports: with fine radius ``r_A``,
 vertex coarsening gives ``(2 + r_A) // 2`` (1 for a 1-radius fine operator)
 and cell coarsening ``(3 + r_A) // 2`` (2): the path identity is
