@@ -299,10 +299,14 @@ def _run_solve(n: int) -> dict:
     hier = builder(tensor)
     force(hier)
     setup_s = time.perf_counter() - t0  # compile + first run
-    t0 = time.perf_counter()
-    hier = builder(tensor)
-    force(hier)
-    setup_warm_s = time.perf_counter() - t0
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        hier = builder(tensor)
+        force(hier)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    setup_warm_s = best
     del tensor
 
     solver = _compiled_solver(levels, config)
@@ -314,7 +318,7 @@ def _run_solve(n: int) -> dict:
         return time.perf_counter() - t0, res
 
     run_once()  # compile + first
-    solve_s, res = min((run_once() for _ in range(2)), key=lambda t: t[0])
+    solve_s, res = min((run_once() for _ in range(3)), key=lambda t: t[0])
     out = {
         "setup_s": setup_s,
         "setup_warm_s": setup_warm_s,
@@ -363,7 +367,7 @@ def _run_solve(n: int) -> dict:
             return time.perf_counter() - t0, r
 
         run_g()
-        g_s, res = min((run_g() for _ in range(2)), key=lambda t: t[0])
+        g_s, res = min((run_g() for _ in range(3)), key=lambda t: t[0])
         out[f"{tag}_solve_to_1e-6_s"] = g_s
         out[f"{tag}_cycles"] = int(res.num_cycles[0])
         out[f"{tag}_relres"] = float(res.final_residual[0])
