@@ -66,16 +66,19 @@ class MADConfig:
     jacobi_weight: float = DEFAULT_JACOBI_WEIGHT
     coarse_operator: str = DCA
     #: Galerkin coarse-operator variant (coarse_operator='galerkin' only):
-    #:   'exact'     — the full R (I - A_f) P product (radius grows to 2
-    #:                 under cell centering: up to 117/125 coefficient
-    #:                 planes per coarse level);
     #:   'collapsed' — each level's coarsened dt*L is lumped onto radius-1
     #:                 support with exact row sums (ops.galerkin.
     #:                 collapse_to_radius1) before re-adding the identity:
     #:                 27 planes per level, 1-voxel halos, Pallas-eligible
-    #:                 sweeps — the production fast path.  Convergence parity
-    #:                 with 'exact' is regression-tested.
-    galerkin_variant: str = "exact"
+    #:                 sweeps — the production default (solve ~1.1x the DCA
+    #:                 hierarchy at 256^3 vs ~1.7x for 'exact').  Convergence
+    #:                 parity with 'exact' is regression-tested
+    #:                 (tests/test_galerkin_direct.py).
+    #:   'exact'     — the full R (I - A_f) P product (radius grows to 2
+    #:                 under cell centering: up to 117/125 coefficient
+    #:                 planes per coarse level); the oracle-grade variant,
+    #:                 bit-faithful to the reference's documented GCA option.
+    galerkin_variant: str = "collapsed"
     #: DCA operator representation per level (coarse_operator='galerkin'
     #: levels are always stored):
     #:   'stored'      — K coefficient planes (19 in 3D), the general form;
@@ -173,7 +176,7 @@ def build_hierarchy(
     time_step: float,
     coarse_operator: str = DCA,
     operator_repr: str = "stored",
-    galerkin_variant: str = "exact",
+    galerkin_variant: str = "collapsed",
 ) -> Hierarchy:
     """Assemble the per-level operators (setup phase — runs once per tensor).
 
@@ -619,7 +622,7 @@ def _compiled_hierarchy_builder(
     time_step: float,
     coarse_operator: str,
     operator_repr: str = "stored",
-    galerkin_variant: str = "exact",
+    galerkin_variant: str = "collapsed",
 ):
     """Jitted setup: tensor -> Hierarchy (DCA assembly at every level, tensor
     restriction chain, dense coarsest LU) as one compiled program."""

@@ -68,7 +68,7 @@ class VEDConfig:
     smoother: str = "gauss_seidel"
     max_cycles: int = 100  # hardcoded in DiffusionStep (.hxx:396)
     coarse_operator: str = "dca"
-    galerkin_variant: str = "exact"  # see MADConfig.galerkin_variant
+    galerkin_variant: str = "collapsed"  # see MADConfig.galerkin_variant
     operator_repr: str = "stored"
     matrix_free: bool = False
     use_pallas: bool = False

@@ -116,21 +116,19 @@ def _apply_along_axis(fn, x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.moveaxis(x, -1, axis)
 
 
-#: fields at least this large route per-axis restriction through the banded
-#: conv machinery (ops.galerkin_direct.apply_banded).  Measured: the banded
-#: form wins STANDALONE (36 -> 32 ms per 512^3 restrict+prolong pair) but
-#: LOSES inside the fused V-cycle programs (256^3 DCA solve 0.077 -> 0.116 s
-#: — XLA already schedules the slice form well there and the banded concat
-#: breaks its fusions), so it is disabled by default; kept selectable for
-#: standalone/offline restriction work.
-_CONV_MIN_ELEMENTS = 1 << 62
-
-
 def _restrict_banded(x: jnp.ndarray, centering: Sequence[str]) -> jnp.ndarray:
     """Large-field restriction via the banded pair-kernel machinery: the
     1-D operator matrices (restrict_matrix_1d, parity-tested against the
     functions above) are analyzed into interior-stencil + border-row form
-    and applied with conv interiors on minor axes."""
+    and applied with conv interiors on minor axes.
+
+    Measured on TPU: this form wins STANDALONE (36 -> 32 ms per 512^3
+    restrict+prolong pair) but LOSES inside the fused V-cycle programs
+    (256^3 DCA solve 0.077 -> 0.116 s — XLA already schedules the slice
+    form well there and the banded concat breaks its fusions), so the
+    cycles always use the slice form; reach this one with
+    ``restrict(..., method='banded')`` for standalone/offline restriction
+    work."""
     from .galerkin_direct import (
         analyze_banded,
         apply_banded,
@@ -143,14 +141,23 @@ def _restrict_banded(x: jnp.ndarray, centering: Sequence[str]) -> jnp.ndarray:
     return x
 
 
-def restrict(x: jnp.ndarray, centering: Sequence[str]) -> jnp.ndarray:
+def restrict(
+    x: jnp.ndarray, centering: Sequence[str], method: str = "slice"
+) -> jnp.ndarray:
     """Full-weighting restriction of a fine-grid field.
 
     ``centering[d]`` is the coarse level's centering in dimension ``d``
     (the reference passes ``GetVertexCenteringAtLevel(l+1)``).
+
+    ``method``: ``'slice'`` (default — the XLA strided-slice form, which
+    fuses best inside the compiled cycle programs) or ``'banded'`` (the
+    conv-emitter banded form — slightly faster standalone at >=512^3,
+    slower inside fused cycles; see :func:`_restrict_banded`).
     """
-    if x.size >= _CONV_MIN_ELEMENTS:
+    if method == "banded":
         return _restrict_banded(x, centering)
+    if method != "slice":
+        raise ValueError(f"unknown restrict method: {method!r}")
     for d, cent in enumerate(centering):
         fn = _restrict_1d_cell if cent == CELL else _restrict_1d_vertex
         x = _apply_along_axis(fn, x, d)

@@ -115,7 +115,8 @@ def test_galerkin_hierarchy_stays_diagonally_dominant(rng):
     assert len(levels) == 6
     tensor = make_spd_tensor_field(rng, shape, 2, hi=3.0)
     hier = build_hierarchy(
-        as_sym_planes(tensor, shape), levels, 0.1, coarse_operator="galerkin"
+        as_sym_planes(tensor, shape), levels, 0.1, coarse_operator="galerkin",
+        galerkin_variant="exact",
     )
     for lvl, op in enumerate(hier.operators[1:], start=1):
         absrow = sum(

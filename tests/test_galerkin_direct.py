@@ -187,7 +187,8 @@ def test_collapsed_variant_converges_like_exact(rng):
     tensor = make_spd_tensor_field(rng, shape, 2, hi=3.0)
     image = rng.normal(size=shape) * 100.0
 
-    cfg_e = MADConfig(time_step=0.1, tolerance=1e-10, coarse_operator="galerkin")
+    cfg_e = MADConfig(time_step=0.1, tolerance=1e-10, coarse_operator="galerkin",
+                      galerkin_variant="exact")
     cfg_c = MADConfig(time_step=0.1, tolerance=1e-10, coarse_operator="galerkin",
                       galerkin_variant="collapsed")
     res_e = mad_diffusion(image, tensor, config=cfg_e)
@@ -238,7 +239,8 @@ def test_exact_galerkin_solver_with_pallas(rng):
     shape = (13, 12, 14)
     tensor = make_spd_tensor_field(rng, shape, 3, hi=2.0)
     image = rng.normal(size=shape) * 10.0
-    base = MADConfig(time_step=0.1, tolerance=1e-10, coarse_operator="galerkin")
+    base = MADConfig(time_step=0.1, tolerance=1e-10, coarse_operator="galerkin",
+                     galerkin_variant="exact")
     ref = mad_diffusion(image, tensor, spacing=(1.0, 0.5, 2.0), config=base)
     import dataclasses
 

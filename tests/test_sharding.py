@@ -123,7 +123,7 @@ def test_halo_galerkin_radius2_matches_single_device(rng, halo):
     image = rng.normal(size=shape) * 10.0
     base = MADConfig(
         time_step=0.05, tolerance=1e-8, max_cycles=30,
-        coarse_operator="galerkin",
+        coarse_operator="galerkin", galerkin_variant="exact",
     )
     ref = mad_diffusion(image, tensor, config=base)
 

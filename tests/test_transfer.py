@@ -90,6 +90,13 @@ def test_restrict_banded_matches_slice_path(rng):
         got = np.asarray(tr._restrict_banded(x, cent))
         np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-14,
                                    err_msg=str((shape, cent)))
+        # the public knob reaches the same path
+        via_knob = np.asarray(restrict(x, cent, method="banded"))
+        np.testing.assert_allclose(via_knob, want, rtol=1e-13, atol=1e-14)
+    import pytest
+
+    with pytest.raises(ValueError):
+        restrict(x, cent, method="nope")
 
 
 def test_restrict_banded_conv_interior(rng, monkeypatch):
