@@ -249,10 +249,19 @@ class Transfers(NamedTuple):
     solve_coarse: object
 
 
-def _standard_transfers(levels: Tuple[GridLevel, ...]) -> Transfers:
+def _standard_transfers(
+    levels: Tuple[GridLevel, ...], lane_mm: bool = True
+) -> Transfers:
+    """``lane_mm=False`` keeps the minor-axis transfers in pure slice form —
+    required under a mesh, where the lane-tile reshape of the matmul path
+    would make the SPMD partitioner regather the sharded minor axis."""
     return Transfers(
-        restrict=lambda r, fl: restrict(r, levels[fl + 1].centering),
-        prolong=lambda ec, fl: prolong(ec, levels[fl + 1].centering),
+        restrict=lambda r, fl: restrict(
+            r, levels[fl + 1].centering, lane_mm=lane_mm
+        ),
+        prolong=lambda ec, fl: prolong(
+            ec, levels[fl + 1].centering, lane_mm=lane_mm
+        ),
         solve_coarse=lambda solver, b, level: coarse_solve(solver, b),
     )
 
@@ -267,12 +276,14 @@ def _padded_transfers(
     from ..parallel.padding import crop_field, pad_field
 
     def rest(r, fl):
-        rc = restrict(crop_field(r, levels[fl].shape), levels[fl + 1].centering)
+        rc = restrict(crop_field(r, levels[fl].shape), levels[fl + 1].centering,
+                      lane_mm=False)
         return pad_field(rc, pshapes[fl + 1])
 
     def prol(ec, fl):
         e = prolong(
-            crop_field(ec, levels[fl + 1].shape), levels[fl + 1].centering
+            crop_field(ec, levels[fl + 1].shape), levels[fl + 1].centering,
+            lane_mm=False,
         )
         return pad_field(e, pshapes[fl])
 
@@ -386,6 +397,13 @@ def _solve_time_step(
         )
     if resid is None:
         resid = make_residual(use_pallas=pallas_ok)
+    if transfers is None:
+        # single-device solves get the minor-axis matmul transfers; under a
+        # mesh (constrain pins shardings) stay in slice form — the matmul
+        # path's lane-tile reshape would regather the sharded minor axis
+        transfers = _standard_transfers(
+            levels, lane_mm=constrain is _no_constraint
+        )
     if config.defect_dtype is not None:
         return _solve_time_step_defect(
             hier, levels, config, b, constrain, smooth, resid, transfers

@@ -126,9 +126,10 @@ def mad_diffusion_verbose(
             emit(level + 1, f"Level {level}, iteration {n + 1}: relative residual = {r}")
             if level == 0 and logger is not None:
                 logger.log(r)
-        rc = restrict(resid(op, x, b), levels[level + 1].centering)
+        rc = restrict(resid(op, x, b), levels[level + 1].centering,
+                      lane_mm=mesh is None)
         ec = v_cycle(jnp.zeros_like(rc), rc, level + 1)
-        x = x + prolong(ec, levels[level + 1].centering)
+        x = x + prolong(ec, levels[level + 1].centering, lane_mm=mesh is None)
         r = rel(op, x, b, bnorm)
         emit(level + 1, f"Level {level}, initial relative residual = {r}")
         if level == 0 and logger is not None:

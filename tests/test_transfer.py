@@ -99,6 +99,48 @@ def test_restrict_banded_matches_slice_path(rng):
         restrict(x, cent, method="nope")
 
 
+def test_axis_native_paths_match_legacy(rng):
+    """The axis-native slice forms and the minor-axis MXU band-matmul path
+    must equal the legacy moveaxis/last-axis forms exactly (the matmul
+    blocks are built from the same parity-tested 1-D operator matrices;
+    weights are exact binary fractions, so f64 matmuls are bitwise-safe)."""
+    from multigridanisotropicdiffusion_tpu.ops import transfer as tr
+
+    cases = [
+        ((8, 12, 256), ("c", "v", "c")),   # lane-mm restrict on last axis
+        ((7, 256), ("v", "c")),
+        ((12, 10, 256), ("c", "c", "c")),
+        ((9, 11, 13), ("v", "v", "v")),    # all-fallback odd sizes
+        ((6, 512), ("c", "c")),
+    ]
+    for shape, cent in cases:
+        x = jnp.asarray(rng.normal(size=shape))
+        want = x
+        for d, c in enumerate(cent):
+            fn = (tr._restrict_1d_cell if c == "c" else tr._restrict_1d_vertex)
+            want = tr._apply_along_axis(fn, want, d)
+        got = tr.restrict(x, cent)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-13, atol=1e-14,
+                                   err_msg=str((shape, cent)))
+        # prolongation back up from the coarse field
+        want_p = want
+        for d, c in enumerate(cent):
+            fn = (tr._prolong_1d_cell if c == "c" else tr._prolong_1d_vertex)
+            want_p = tr._apply_along_axis(fn, want_p, d)
+        got_p = tr.prolong(got, cent)
+        np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                                   rtol=1e-13, atol=1e-14,
+                                   err_msg=str((shape, cent)))
+        # the no-matmul variant agrees too (the distributed form)
+        got_nm = tr.restrict(x, cent, lane_mm=False)
+        np.testing.assert_allclose(np.asarray(got_nm), np.asarray(want),
+                                   rtol=1e-13, atol=1e-14)
+        got_pnm = tr.prolong(got, cent, lane_mm=False)
+        np.testing.assert_allclose(np.asarray(got_pnm), np.asarray(want_p),
+                                   rtol=1e-13, atol=1e-14)
+
+
 def test_restrict_banded_conv_interior(rng, monkeypatch):
     """Same equivalence with the conv interior forced on (the TPU form for
     large minor-axis interiors)."""
