@@ -4,10 +4,14 @@ The reference converts the coarsest StencilImage to a ``vnl_sparse_matrix``,
 LU-factorizes once at construction, and back-substitutes per visit
 (/root/reference/include/mad/itkDirectSolver.hxx:34-147).  The coarsest level
 here is tiny by construction (every dimension in [6, 11], so N <= 1331 in 3D):
-we densify the operator to an ``(N, N)`` matrix, run
-``jax.scipy.linalg.lu_factor`` once at setup, and each coarsest-level visit is
-a cached ``lu_solve`` — a pair of small triangular solves that stay resident
-on-chip.  No sparse machinery needed.
+we densify the operator to an ``(N, N)`` matrix, LU-factorize once at setup,
+and apply the solve via the *precomputed inverse* (``lu_solve`` of the
+identity): each coarsest-level visit is then one small ``N x N`` matvec on
+the MXU instead of a pair of sequential triangular solves — measured ~1 ms
+per visit for the triangular form at N = 512 on TPU (latency-bound row
+recurrences) vs matvec noise.  At these sizes and conditioning the inverse
+application agrees with back-substitution to ~N * cond(A) * eps, far below
+every solver tolerance.  No sparse machinery needed.
 """
 
 from __future__ import annotations
@@ -21,22 +25,22 @@ from ..core.stencil import StencilOperator, densify
 
 
 class CoarseSolver(NamedTuple):
-    """Cached LU factorization of the coarsest-level operator."""
+    """Precomputed inverse of the coarsest-level operator (via its LU)."""
 
-    lu: jnp.ndarray
-    piv: jnp.ndarray
+    inv: jnp.ndarray
     shape: Tuple[int, ...]
 
 
 def build_coarse_solver(op: StencilOperator) -> CoarseSolver:
     a = densify(op)
     lu, piv = jsl.lu_factor(a)
-    return CoarseSolver(lu=lu, piv=piv, shape=op.shape)
+    inv = jsl.lu_solve((lu, piv), jnp.eye(a.shape[0], dtype=a.dtype))
+    return CoarseSolver(inv=inv, shape=op.shape)
 
 
 def coarse_solve(solver: CoarseSolver, b: jnp.ndarray) -> jnp.ndarray:
-    """Back-substitution; low-precision rhs (mixed-precision defect cycles)
-    are solved in the factorization's precision and cast back."""
-    rhs = b.reshape(-1).astype(solver.lu.dtype)
-    x = jsl.lu_solve((solver.lu, solver.piv), rhs)
+    """Inverse application; low-precision rhs (mixed-precision defect cycles)
+    are solved in the setup precision and cast back."""
+    rhs = b.reshape(-1).astype(solver.inv.dtype)
+    x = solver.inv @ rhs
     return x.reshape(b.shape).astype(b.dtype)

@@ -1,0 +1,258 @@
+"""Fused Pallas TPU kernel for 3D full-weighting restriction.
+
+XLA's strided-slice formulation of the separable restriction runs ~6x off
+HBM speed-of-light at 512^3 regardless of axis order or matmul tricks (each
+axis pass re-streams the field and the stride-2 gathers defeat fusion;
+measured ~18 ms per 512^3 field vs a ~2.5 ms traffic bound).  Mosaic cannot
+lower strided slices at all (gathers are 2D-only), so the kernel avoids
+strides entirely:
+
+* **z** (grid axis): the four fine taps ``2k-1 .. 2k+2`` of coarse plane
+  ``k`` arrive as separate index-map-clamped refs (the
+  ``ops.pallas_smoothers`` pattern); border weights are switched by scalar
+  selects on ``k`` (clamped duplicate planes get weight 0).
+* **y** (sublane axis): the stride-2 row combination is one banded matmul
+  ``W_y @ plane`` on the MXU — the matrix absorbs the deinterleave; the
+  first/last coarse rows of the volume are patched in-kernel to the border
+  stencil.  1-row y halos ride granule-row blocks exactly like the smoother
+  kernels.
+* **x** (lane axis): per 128-lane coarse tile, a sum of (up to) four static
+  ``128 x 128`` band blocks of the 1-D restriction matrix
+  (``ops.galerkin_direct.restrict_matrix_1d``, border rows included) applied
+  with ``jnp.dot`` — lane mixing is free inside a matmul.
+
+Restriction semantics are identical to ``ops.transfer.restrict`` (same 1-D
+operator tables, reference itkInterGridOperators.h:115-127); parity is
+tested in interpret mode on CPU and the production dispatch is gated to
+all-cell-centered 3D fields with ``X % 256 == 0`` on the TPU backend.
+Weights are exact binary fractions, so bf16-input MXU passes lose nothing
+on the weights; dots run at HIGHEST precision for f32 inputs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from ..core.grids import CELL
+
+_LANE = 128
+
+
+def _sublane_granule(itemsize: int) -> int:
+    return 8 * max(1, 4 // itemsize)
+
+
+def pallas_restrict_supported(
+    shape: Tuple[int, ...], centering, itemsize: int = 4
+) -> bool:
+    """All-cell 3D fields with whole coarse lane tiles and granule-aligned
+    coarse y tiles."""
+    if len(shape) != 3 or any(c != CELL for c in centering):
+        return False
+    z, y, x = shape
+    if z < 4 or z % 2 or y % 2 or x % (2 * _LANE):
+        return False
+    g = _sublane_granule(itemsize)
+    cy = y // 2
+    ty = _pick_cy_tile(cy, g)
+    return ty is not None
+
+
+def _pick_cy_tile(cy: int, g: int) -> int | None:
+    """Largest divisor of the coarse y extent that is a granule multiple,
+    capped at 128 rows."""
+    best = None
+    for t in range(g, min(cy, 128) + 1, g):
+        if cy % t == 0:
+            best = t
+    return best
+
+
+@functools.lru_cache(maxsize=64)
+def _x_bands(x: int, dtype_name: str) -> np.ndarray:
+    """Stacked band blocks of the 1-D cell restriction along x:
+    ``bands[4 * t + i]`` multiplies fine lane-tile ``2t + delta_i`` into
+    coarse tile ``t`` (deltas -1, 0, 1, 2; zeros when out of range)."""
+    from .galerkin_direct import restrict_matrix_1d
+
+    r = np.asarray(restrict_matrix_1d(x, CELL))
+    tc = (x // 2) // _LANE
+    out = np.zeros((4 * tc, _LANE, _LANE), jnp.dtype(dtype_name))
+    for t in range(tc):
+        for i, delta in enumerate((-1, 0, 1, 2)):
+            kf = 2 * t + delta
+            if 0 <= kf < x // _LANE:
+                out[4 * t + i] = r[t * _LANE:(t + 1) * _LANE,
+                                   kf * _LANE:(kf + 1) * _LANE].T
+    return out
+
+
+@functools.lru_cache(maxsize=64)
+def _y_base(ty: int, dtype_name: str) -> np.ndarray:
+    """Interior rows of the banded y restriction matrix (plane-row indexed:
+    one halo row above, so coarse row r reads plane rows 2r..2r+3)."""
+    wy = np.zeros((ty, 2 * ty + 2), jnp.dtype(dtype_name))
+    for r in range(ty):
+        wy[r, 2 * r:2 * r + 4] = (0.125, 0.375, 0.375, 0.125)
+    return wy
+
+
+def _restrict_kernel(ty: int, cy: int, cz: int, x: int, hh: int,
+                     precision, compute_dtype, *refs):
+    """Kernel body: 4 z taps -> z-combine -> y band matmul -> x band dots."""
+    k = pl.program_id(0)
+    j = pl.program_id(1)
+
+    cd = jnp.dtype(compute_dtype)
+
+    def up(a):
+        return a.astype(cd) if a.dtype != cd else a
+
+    # refs: for each dz in (-1, 0, 1, 2): (main, top, bot); then the weight
+    # inputs (y base matrix, stacked x band blocks) and the output.
+    mains = [refs[3 * i] for i in range(4)]
+    tops = [refs[3 * i + 1] for i in range(4)]
+    bots = [refs[3 * i + 2] for i in range(4)]
+    wy_ref, wx_ref, out = refs[12], refs[13], refs[14]
+
+    # z-combine with border-switched weights: interior (1/8,3/8,3/8,1/8) on
+    # fine z = 2k-1..2k+2; first/last coarse planes use the one-sided rows.
+    interior = jnp.logical_and(k > 0, k < cz - 1)
+    wz = [
+        jnp.where(interior, 0.125, jnp.where(k == 0, 0.0, 0.125)),
+        jnp.where(interior, 0.375, jnp.where(k == 0, 0.5, 0.375)),
+        jnp.where(interior, 0.375, jnp.where(k == 0, 0.375, 0.5)),
+        jnp.where(interior, 0.125, jnp.where(k == 0, 0.125, 0.0)),
+    ]
+
+    def stitched(i):
+        # (2 ty + 2, x): one halo row above and below the main block
+        top = tops[i][0, hh - 1:hh, :]
+        bot = bots[i][0, 0:1, :]
+        return jnp.concatenate([up(top), up(mains[i][0]), up(bot)], axis=0)
+
+    plane = sum(wz[i] * stitched(i) for i in range(4))  # (2 ty + 2, x)
+
+    # y band matmul: coarse row r reads plane rows 2r .. 2r+3 (plane row
+    # index = global fine row + 1).  Border coarse rows (global 0 / cy-1)
+    # patched to the one-sided stencil.
+    n_in = 2 * ty + 2
+    wy = up(wy_ref[...])
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ty, n_in), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ty, n_in), 1)
+    # global first coarse row: weights (0, 1/2, 3/8, 1/8) on plane rows 0..3
+    first = jnp.logical_and(j == 0, rows == 0)
+    w_first = jnp.where(cols == 1, 0.5,
+                        jnp.where(cols == 2, 0.375,
+                                  jnp.where(cols == 3, 0.125, 0.0)))
+    # global last coarse row: (1/8, 3/8, 1/2, 0) on its four plane rows
+    last = jnp.logical_and(j == (cy // ty) - 1, rows == ty - 1)
+    w_last = jnp.where(cols == n_in - 4, 0.125,
+                       jnp.where(cols == n_in - 3, 0.375,
+                                 jnp.where(cols == n_in - 2, 0.5, 0.0)))
+    wy = jnp.where(first, w_first, jnp.where(last, w_last, wy))
+
+    q = jax.lax.dot_general(
+        wy, plane, (((1,), (0,)), ((), ())), precision=precision
+    )  # (ty, x)
+
+    # x band dots per coarse lane tile (out-of-range bands are zero blocks)
+    tc = (x // 2) // _LANE
+    pieces = []
+    for t in range(tc):
+        acc = None
+        for i, delta in enumerate((-1, 0, 1, 2)):
+            kf = 2 * t + delta
+            if not 0 <= kf < x // _LANE:
+                continue
+            term = jax.lax.dot_general(
+                q[:, kf * _LANE:(kf + 1) * _LANE], up(wx_ref[4 * t + i]),
+                (((1,), (0,)), ((), ())), precision=precision,
+            )
+            acc = term if acc is None else acc + term
+        pieces.append(acc)
+    res = jnp.concatenate(pieces, axis=1) if len(pieces) > 1 else pieces[0]
+    out[...] = res[None].astype(out.dtype)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_restrict(shape: Tuple[int, ...], dtype_name: str,
+                    interpret: bool):
+    z, y, x = shape
+    dtype = jnp.dtype(dtype_name)
+    cz, cy, cx = z // 2, y // 2, x // 2
+    g = _sublane_granule(dtype.itemsize)
+    ty = _pick_cy_tile(cy, g)
+    assert ty is not None
+    nyb = cy // ty
+    fine_main = (1, 2 * ty, x)
+    hh = g
+    halo = (1, hh, x)
+    nh = (2 * ty) // hh  # halo blocks per fine main tile
+
+    def z_at(dz):
+        return lambda k, j, dz=dz: jnp.clip(2 * k + dz, 0, z - 1)
+
+    specs = []
+    for dz in (-1, 0, 1, 2):
+        zf = z_at(dz)
+        specs.append(
+            pl.BlockSpec(fine_main, lambda k, j, zf=zf: (zf(k, j), j, 0))
+        )
+        specs.append(
+            pl.BlockSpec(
+                halo, lambda k, j, zf=zf: (zf(k, j),
+                                           jnp.maximum(j * nh - 1, 0), 0)
+            )
+        )
+        specs.append(
+            pl.BlockSpec(
+                halo,
+                lambda k, j, zf=zf: (zf(k, j),
+                                     jnp.minimum((j + 1) * nh, y // hh - 1),
+                                     0),
+            )
+        )
+
+    precision = (
+        jax.lax.Precision.HIGHEST if dtype.itemsize >= 4
+        else jax.lax.Precision.DEFAULT
+    )
+    compute_dtype = "float64" if dtype == jnp.float64 else "float32"
+    kernel = functools.partial(
+        _restrict_kernel, ty, cy, cz, x, hh, precision, compute_dtype
+    )
+    n_in = 2 * ty + 2
+    tc = cx // _LANE
+    specs.append(pl.BlockSpec((ty, n_in), lambda k, j: (0, 0)))
+    specs.append(pl.BlockSpec((4 * tc, _LANE, _LANE), lambda k, j: (0, 0, 0)))
+    call = pl.pallas_call(
+        kernel,
+        grid=(cz, nyb),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, ty, cx), lambda k, j: (k, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((cz, cy, cx), dtype),
+        interpret=interpret,
+    )
+    wy = jnp.asarray(_y_base(ty, compute_dtype))
+    wx = jnp.asarray(_x_bands(x, compute_dtype))
+
+    def run(xf):
+        return call(*([xf] * 12), wy, wx)
+
+    return run
+
+
+def pallas_restrict3d(xf: jnp.ndarray, interpret: bool | None = None):
+    """Fused all-cell 3D restriction (fine -> coarse, all axes halved)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    run = _build_restrict(tuple(xf.shape), jnp.dtype(xf.dtype).name,
+                          bool(interpret))
+    return run(xf)

@@ -378,6 +378,23 @@ def restrict(
         return _restrict_banded(x, centering)
     if method != "slice":
         raise ValueError(f"unknown restrict method: {method!r}")
+    if (
+        lane_mm and x.ndim == 3
+        and jnp.issubdtype(x.dtype, jnp.floating)
+        and jax.default_backend() == "tpu"
+    ):
+        # fused Pallas kernel: ~13x the XLA slice form at 512^3 (the XLA
+        # strided passes run ~6x off speed-of-light however formulated;
+        # see ops.pallas_transfer)
+        from .pallas_transfer import (
+            pallas_restrict3d,
+            pallas_restrict_supported,
+        )
+
+        if pallas_restrict_supported(
+            tuple(x.shape), tuple(centering), jnp.dtype(x.dtype).itemsize
+        ):
+            return pallas_restrict3d(x)
     for d, cent in enumerate(centering):
         if (
             lane_mm and d == x.ndim - 1
