@@ -70,7 +70,23 @@ def _conv_axis(
     ``valid=False``: edge-replicate padding, shape-preserving.
     ``valid=True``: no padding — the axis shrinks by ``len(kernel) - 1``
     (used by the z-slab-tiled pipeline, where the halo is already present).
+
+    On the TPU backend, eligible 3D passes route through the fused Pallas
+    per-axis kernels (ops.pallas_conv) — the XLA shifted-slice chain below
+    runs ~6x off HBM speed-of-light at 512^3.
     """
+    if u.ndim == 3 and jnp.issubdtype(u.dtype, jnp.floating):
+        import jax
+
+        if jax.default_backend() == "tpu":
+            from .pallas_conv import pallas_conv_axis, pallas_conv_supported
+
+            if pallas_conv_supported(
+                tuple(u.shape), axis, len(kernel),
+                jnp.dtype(u.dtype).itemsize, valid,
+            ):
+                return pallas_conv_axis(u, np.asarray(kernel), axis,
+                                        valid=valid)
     radius = (len(kernel) - 1) // 2
     if valid:
         up = u

@@ -1,0 +1,371 @@
+"""Pallas TPU kernels for 1-D (separable) convolutions along each axis.
+
+The VED pipeline's Gaussian/derivative passes (``ops.hessian._conv_axis``)
+are XLA chains of shifted slices — measured ~6-7x off HBM speed-of-light at
+512^3, the same strided-op inefficiency as the transfers.  Mosaic cannot
+lower strided or shifted gathers directly, so each axis uses a stride-free
+formulation (cf. ``ops.pallas_transfer``):
+
+* **z** (major axis): each grid step reads three consecutive z blocks
+  (index-clamped) and accumulates ``w[dz] * rows[i + dz]`` with static
+  slices; the taps are static Python scalars baked into the kernel.
+  Border replication is provided by an edge-pad of the input (skipped in
+  the z-slab pipeline's *valid* mode, where the halos already exist).
+* **y** (sublane axis): the windowed row combination is one banded
+  ``W (ty, ty + 2r) @ window`` matmul on the MXU; the window is stitched
+  from the neighboring y blocks, and edge replication is folded into
+  per-tile-position variants of ``W`` (interior / first / last / both)
+  selected in-kernel — no physical padding, no crops.
+* **x** (lane axis): per 128-lane tile, a sum of static ``128 x 128`` band
+  blocks of the full edge-folded 1-D convolution matrix (radius <= 128).
+
+Semantics match ``ops.hessian._conv_axis`` exactly (correlation, ``k[j]``
+multiplies ``u[pos + j - r]`` relative taps, edge-replicated borders);
+parity is tested in interpret mode against it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+_LANE = 128
+
+
+def _granule(itemsize: int) -> int:
+    return 8 * max(1, 4 // itemsize)
+
+
+def _compute_dtype(dtype) -> str:
+    return "float64" if jnp.dtype(dtype) == jnp.float64 else "float32"
+
+
+def conv_matrix_1d(n: int, kernel: Tuple[float, ...]) -> np.ndarray:
+    """Dense ``(n, n)`` matrix of the edge-replicated 1-D correlation:
+    ``out[i] = sum_j k[j] u[clip(i + j - r, 0, n - 1)]``."""
+    r = (len(kernel) - 1) // 2
+    m = np.zeros((n, n))
+    for i in range(n):
+        for j, w in enumerate(kernel):
+            m[i, min(max(i + j - r, 0), n - 1)] += w
+    return m
+
+
+def _pick_tile(extent: int, minimum: int, granule: int, cap: int = 256):
+    """Largest granule-multiple divisor of ``extent`` in [minimum, cap]."""
+    best = None
+    lo = max(minimum, granule)
+    for t in range(granule, min(extent, cap) + 1, granule):
+        if extent % t == 0 and t >= lo:
+            best = t
+    return best
+
+
+# ---------------------------------------------------------------------------
+# z axis
+# ---------------------------------------------------------------------------
+
+
+def _conv_z_kernel(tz: int, weights: Tuple[float, ...], *refs):
+    b0, b1, b2, out = refs
+    cat = jnp.concatenate([b0[...], b1[...], b2[...]], axis=0)
+    cd = jnp.float64 if cat.dtype.itemsize == 8 else jnp.float32
+    cat = cat.astype(cd)
+    acc = None
+    for j, w in enumerate(weights):
+        if w == 0.0:
+            continue
+        term = w * cat[j:j + tz]
+        acc = term if acc is None else acc + term
+    out[...] = acc.astype(out.dtype)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_conv_z(pshape: Tuple[int, ...], dtype_name: str, tz: int,
+                  z_out: int, weights: Tuple[float, ...], interpret: bool):
+    """Conv along axis 0 of a pre-padded (zp, y, x) input; out (z_out, y, x).
+    Grid step k reads padded z blocks k, k+1, k+2 of height tz (the pad
+    guarantees they exist) and emits out rows [k tz, (k+1) tz)."""
+    zp, y, x = pshape
+    dtype = jnp.dtype(dtype_name)
+    # VMEM budget: three (tz, ty, x) input blocks + the f32 accumulator
+    ty_cap = max(
+        _granule(dtype.itemsize),
+        (6 * 1024 * 1024) // (3 * tz * x * dtype.itemsize),
+    )
+    ty = _pick_tile(y, 1, _granule(dtype.itemsize), cap=ty_cap)
+    nzb = zp // tz
+
+    def blk(dk):
+        return pl.BlockSpec(
+            (tz, ty, x),
+            lambda k, j, dk=dk: (jnp.minimum(k + dk, nzb - 1), j, 0),
+        )
+
+    kernel = functools.partial(_conv_z_kernel, tz, weights)
+    call = pl.pallas_call(
+        kernel,
+        grid=(z_out // tz, y // ty),
+        in_specs=[blk(0), blk(1), blk(2)],
+        out_specs=pl.BlockSpec((tz, ty, x), lambda k, j: (k, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((z_out, y, x), dtype),
+        interpret=interpret,
+    )
+    return call
+
+
+def pallas_conv_z(u: jnp.ndarray, kernel, valid: bool = False,
+                  interpret: bool | None = None) -> jnp.ndarray:
+    """Correlate along axis 0 with edge replication (``valid=True``: the
+    input already carries the r-thick z halos; output shrinks by 2r)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    z, y, x = u.shape
+    weights = tuple(float(w) for w in np.asarray(kernel, np.float64))
+    r = (len(weights) - 1) // 2
+    z_out = z - 2 * r if valid else z
+    tz = _pick_tile(z_out, r, 1, cap=max(32, r))
+    if tz is None:
+        raise ValueError(f"no z tile for z_out={z_out}, r={r}")
+    # (K + 2) blocks so grid step K-1's three block fetches never clamp into
+    # the needed window
+    zp = (z_out // tz + 2) * tz
+    if valid:
+        up = jnp.pad(u, ((0, zp - z), (0, 0), (0, 0))) if zp > z else u
+    else:
+        up = jnp.pad(u, ((r, 0), (0, 0), (0, 0)), mode="edge")
+        up = jnp.pad(up, ((0, zp - (z + r)), (0, 0), (0, 0)), mode="edge")
+    call = _build_conv_z(tuple(up.shape), jnp.dtype(u.dtype).name, tz,
+                         z_out, weights, bool(interpret))
+    return call(up, up, up)
+
+
+# ---------------------------------------------------------------------------
+# y axis
+# ---------------------------------------------------------------------------
+
+
+def _conv_y_kernel(ty: int, r: int, nyb: int, *refs):
+    b0, b1, b2, w_ref, out = refs
+    j = pl.program_id(1)
+    cd = jnp.float64 if b1.dtype.itemsize == 8 else jnp.float32
+    cat = jnp.concatenate(
+        [b0[0, ty - r:, :], b1[0], b2[0, :r, :]], axis=0
+    ).astype(cd)  # (ty + 2r, x)
+    # W variant by tile position: 0 interior, 1 first, 2 last, 3 both
+    idx = jnp.where(j == 0, 1, 0) + jnp.where(j == nyb - 1, 2, 0)
+    w = w_ref[idx].astype(cd)  # (ty, ty + 2r)
+    out[...] = jax.lax.dot_general(
+        w, cat, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )[None].astype(out.dtype)
+
+
+@functools.lru_cache(maxsize=256)
+def _y_band_variants(ty: int, kernel: Tuple[float, ...],
+                     dtype_name: str) -> np.ndarray:
+    """(4, ty, ty + 2r) window matrices: interior / first-tile / last-tile /
+    both, with edge replication folded into the border variants (window col
+    c maps to global row tile_start + c - r)."""
+    nw = len(kernel)
+    r = (nw - 1) // 2
+    w_int = np.zeros((ty, ty + 2 * r))
+    for i in range(ty):
+        w_int[i, i:i + nw] += np.asarray(kernel)
+
+    def fold_first(w):
+        w = w.copy()
+        w[:, r] += w[:, :r].sum(axis=1)
+        w[:, :r] = 0.0
+        return w
+
+    def fold_last(w):
+        w = w.copy()
+        w[:, ty + r - 1] += w[:, ty + r:].sum(axis=1)
+        w[:, ty + r:] = 0.0
+        return w
+
+    out = np.stack([
+        w_int, fold_first(w_int), fold_last(w_int),
+        fold_last(fold_first(w_int)),
+    ]).astype(jnp.dtype(dtype_name))
+    return out
+
+
+@functools.lru_cache(maxsize=256)
+def _build_conv_y(shape: Tuple[int, ...], dtype_name: str, ty: int, r: int,
+                  interpret: bool):
+    z, y, x = shape
+    dtype = jnp.dtype(dtype_name)
+    nyb = y // ty
+
+    def blk(dj):
+        return pl.BlockSpec(
+            (1, ty, x),
+            lambda k, j, dj=dj: (k, jnp.clip(j + dj, 0, nyb - 1), 0),
+        )
+
+    specs = [blk(-1), blk(0), blk(1),
+             pl.BlockSpec((4, ty, ty + 2 * r), lambda k, j: (0, 0, 0))]
+    kernel = functools.partial(_conv_y_kernel, ty, r, nyb)
+    call = pl.pallas_call(
+        kernel,
+        grid=(z, nyb),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, ty, x), lambda k, j: (k, j, 0)),
+        out_shape=jax.ShapeDtypeStruct(shape, dtype),
+        interpret=interpret,
+    )
+    return call
+
+
+def pallas_conv_y(u: jnp.ndarray, kernel,
+                  interpret: bool | None = None) -> jnp.ndarray:
+    """Correlate along axis 1 with edge replication."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    z, y, x = u.shape
+    weights = tuple(float(w) for w in np.asarray(kernel, np.float64))
+    r = (len(weights) - 1) // 2
+    g = _granule(u.dtype.itemsize)
+    ty = _pick_tile(y, r, g)
+    if ty is None:
+        raise ValueError(f"no y tile for y={y}, r={r}")
+    w = jnp.asarray(_y_band_variants(ty, weights, _compute_dtype(u.dtype)))
+    call = _build_conv_y(tuple(u.shape), jnp.dtype(u.dtype).name, ty, r,
+                         bool(interpret))
+    return call(u, u, u, w)
+
+
+# ---------------------------------------------------------------------------
+# x axis
+# ---------------------------------------------------------------------------
+
+
+def _conv_x_kernel(tcx: int, nbands: int, *refs):
+    b, w_ref, out = refs
+    v = b[0]
+    cd = jnp.float64 if v.dtype.itemsize == 8 else jnp.float32
+    v = v.astype(cd)
+    pieces = []
+    for t in range(tcx):
+        acc = None
+        for i in range(nbands):
+            kf = t + i - (nbands // 2)
+            if not 0 <= kf < tcx:
+                continue
+            term = jax.lax.dot_general(
+                v[:, kf * _LANE:(kf + 1) * _LANE],
+                w_ref[nbands * t + i].astype(cd),
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            acc = term if acc is None else acc + term
+        pieces.append(acc)
+    res = jnp.concatenate(pieces, axis=1) if len(pieces) > 1 else pieces[0]
+    out[...] = res[None].astype(out.dtype)
+
+
+@functools.lru_cache(maxsize=256)
+def _x_conv_bands(x: int, kernel: Tuple[float, ...],
+                  dtype_name: str) -> np.ndarray:
+    """Stacked (nbands * tcx, 128, 128) band blocks of the edge-folded conv
+    matrix along x, transposed for ``tile @ W``."""
+    m = conv_matrix_1d(x, kernel)
+    tcx = x // _LANE
+    r = (len(kernel) - 1) // 2
+    nb = 2 * ((r + _LANE - 1) // _LANE) + 1
+    out = np.zeros((nb * tcx, _LANE, _LANE), jnp.dtype(dtype_name))
+    for t in range(tcx):
+        for i in range(nb):
+            kf = t + i - nb // 2
+            if 0 <= kf < tcx:
+                out[nb * t + i] = m[t * _LANE:(t + 1) * _LANE,
+                                    kf * _LANE:(kf + 1) * _LANE].T
+    return out
+
+
+@functools.lru_cache(maxsize=256)
+def _build_conv_x(shape: Tuple[int, ...], dtype_name: str, nbands: int,
+                  interpret: bool):
+    z, y, x = shape
+    dtype = jnp.dtype(dtype_name)
+    ty = _pick_tile(y, 1, _granule(dtype.itemsize))
+    tcx = x // _LANE
+    specs = [
+        pl.BlockSpec((1, ty, x), lambda k, j: (k, j, 0)),
+        pl.BlockSpec((nbands * tcx, _LANE, _LANE), lambda k, j: (0, 0, 0)),
+    ]
+    kernel = functools.partial(_conv_x_kernel, tcx, nbands)
+    call = pl.pallas_call(
+        kernel,
+        grid=(z, y // ty),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, ty, x), lambda k, j: (k, j, 0)),
+        out_shape=jax.ShapeDtypeStruct(shape, dtype),
+        interpret=interpret,
+    )
+    return call
+
+
+def pallas_conv_x(u: jnp.ndarray, kernel,
+                  interpret: bool | None = None) -> jnp.ndarray:
+    """Correlate along axis 2 (lanes) with edge replication."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    z, y, x = u.shape
+    weights = tuple(float(w) for w in np.asarray(kernel, np.float64))
+    r = (len(weights) - 1) // 2
+    nb = 2 * ((r + _LANE - 1) // _LANE) + 1
+    wx = jnp.asarray(_x_conv_bands(x, weights, _compute_dtype(u.dtype)))
+    call = _build_conv_x(tuple(u.shape), jnp.dtype(u.dtype).name, nb,
+                         bool(interpret))
+    return call(u, wx)
+
+
+# ---------------------------------------------------------------------------
+# dispatcher
+# ---------------------------------------------------------------------------
+
+
+def pallas_conv_supported(shape: Tuple[int, ...], axis: int, nw: int,
+                          itemsize: int, valid: bool = False) -> bool:
+    """Eligibility for routing an ``ops.hessian._conv_axis`` call here."""
+    if len(shape) != 3:
+        return False
+    z, y, x = shape
+    r = (nw - 1) // 2
+    if r < 1:
+        return False
+    g = _granule(itemsize)
+    if x % _LANE or y % g:
+        return False
+    if axis == 0:
+        z_out = z - 2 * r if valid else z
+        if z_out <= 0:
+            return False
+        return _pick_tile(z_out, r, 1, cap=max(32, r)) is not None
+    if valid:
+        return False  # valid mode is z-only (the slab pipeline)
+    if axis == 1:
+        return _pick_tile(y, r, g) is not None
+    if axis == 2:
+        return r <= _LANE
+    return False
+
+
+def pallas_conv_axis(u: jnp.ndarray, kernel, axis: int,
+                     valid: bool = False,
+                     interpret: bool | None = None) -> jnp.ndarray:
+    if axis == 0:
+        return pallas_conv_z(u, kernel, valid=valid, interpret=interpret)
+    if axis == 1:
+        return pallas_conv_y(u, kernel, interpret=interpret)
+    if axis == 2:
+        return pallas_conv_x(u, kernel, interpret=interpret)
+    raise ValueError(f"bad axis {axis}")
