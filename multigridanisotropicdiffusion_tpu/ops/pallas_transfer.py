@@ -240,11 +240,15 @@ def _build_restrict(shape: Tuple[int, ...], dtype_name: str,
         out_shape=jax.ShapeDtypeStruct((cz, cy, cx), dtype),
         interpret=interpret,
     )
-    wy = jnp.asarray(_y_base(ty, compute_dtype))
-    wx = jnp.asarray(_x_bands(x, compute_dtype))
+    # keep the cached weights as NUMPY arrays: converting once and caching
+    # the jnp.Array would capture the first caller's trace (leaked-tracer
+    # error on every later jit); jnp.asarray per call constant-folds into
+    # each trace instead.
+    wy_np = _y_base(ty, compute_dtype)
+    wx_np = _x_bands(x, compute_dtype)
 
     def run(xf):
-        return call(*([xf] * 12), wy, wx)
+        return call(*([xf] * 12), jnp.asarray(wy_np), jnp.asarray(wx_np))
 
     return run
 

@@ -38,6 +38,20 @@ def test_pallas_restrict_support_gate():
     assert pallas_restrict_supported((8, 16, 256), c3)
 
 
+def test_pallas_restrict_two_traces(rng):
+    """Regression: the cached builder must not capture the first caller's
+    trace (the weight constants were once jnp.asarray'd at build time inside
+    the first jit trace and leaked into every later one)."""
+    import jax
+
+    x = jnp.asarray(rng.normal(size=(8, 16, 256)))
+    f1 = jax.jit(lambda v: pallas_restrict3d(v, interpret=True))
+    f2 = jax.jit(lambda v: pallas_restrict3d(v * 2.0, interpret=True))
+    a = np.asarray(f1(x))
+    b = np.asarray(f2(x))
+    np.testing.assert_allclose(b, 2 * a, rtol=1e-12, atol=1e-13)
+
+
 def test_pallas_restrict_f32(rng):
     shape = (8, 16, 256)
     x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
