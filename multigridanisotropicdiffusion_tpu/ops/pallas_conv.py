@@ -93,10 +93,14 @@ def _build_conv_z(pshape: Tuple[int, ...], dtype_name: str, tz: int,
     guarantees they exist) and emits out rows [k tz, (k+1) tz)."""
     zp, y, x = pshape
     dtype = jnp.dtype(dtype_name)
-    # VMEM budget: three (tz, ty, x) input blocks + the f32 accumulator
+    # VMEM budget: three (tz, ty, x) input blocks (DOUBLE-buffered by the
+    # Pallas pipeline), the stitched 3tz-row concat temp, dtype-cast copies,
+    # the f32 accumulator, and the (double-buffered) out block — measured
+    # ~16x tz*ty*x*4 total (a 7x model still OOM'd the 16 MB scoped vmem:
+    # 17.75M at tz=22, ty=32, x=512)
     ty_cap = max(
         _granule(dtype.itemsize),
-        (6 * 1024 * 1024) // (3 * tz * x * dtype.itemsize),
+        (10 * 1024 * 1024) // (16 * tz * x * max(dtype.itemsize, 4)),
     )
     ty = _pick_tile(y, 1, _granule(dtype.itemsize), cap=ty_cap)
     nzb = zp // tz
