@@ -177,6 +177,7 @@ def build_hierarchy(
     coarse_operator: str = DCA,
     operator_repr: str = "stored",
     galerkin_variant: str = "collapsed",
+    lane_mm: bool = True,
 ) -> Hierarchy:
     """Assemble the per-level operators (setup phase — runs once per tensor).
 
@@ -219,7 +220,7 @@ def build_hierarchy(
     else:
         t = tensor
         for lvl in levels[1:]:
-            t = restrict_tensor(t, lvl.centering)
+            t = restrict_tensor(t, lvl.centering, lane_mm=lane_mm)
             ops.append(make_op(t, lvl))
         if operator_repr == "stored":
             coarsest_stored = ops[-1]
@@ -641,14 +642,17 @@ def _compiled_hierarchy_builder(
     coarse_operator: str,
     operator_repr: str = "stored",
     galerkin_variant: str = "collapsed",
+    lane_mm: bool = True,
 ):
     """Jitted setup: tensor -> Hierarchy (DCA assembly at every level, tensor
-    restriction chain, dense coarsest LU) as one compiled program."""
+    restriction chain, dense coarsest LU) as one compiled program.
+    ``lane_mm=False`` for mesh-sharded input tensors (the minor-axis matmul
+    restriction is a pallas_call, which GSPMD cannot partition)."""
 
     def build(tensor):
         return build_hierarchy(
             tensor, levels, time_step, coarse_operator, operator_repr,
-            galerkin_variant,
+            galerkin_variant, lane_mm,
         )
 
     return jax.jit(build)
@@ -750,6 +754,7 @@ def mad_diffusion(
         builder = _compiled_hierarchy_builder(
             levels, config.time_step, config.coarse_operator,
             config.effective_operator_repr, config.galerkin_variant,
+            mesh is None,
         )
         hierarchy = builder(tuple(jnp.asarray(p, dtype) for p in tensor))
 

@@ -233,6 +233,7 @@ def fused_vesselness_tensor(
     z_slab: int | None = None,
     hessian_mode: str = "gaussian_derivative",
     pipeline_dtype=None,
+    allow_pallas: bool = True,
 ):
     """Vesselness response and diffusion tensor in one pass over scales.
 
@@ -258,7 +259,7 @@ def fused_vesselness_tensor(
     if z_slab is None or z_slab >= u.shape[0]:
         return _fused_scales(
             u, scales, spacing, alpha, beta, gamma, epsilon, omega,
-            sensitivity, None, hessian_mode,
+            sensitivity, None, hessian_mode, allow_pallas,
         )
 
     from jax import lax
@@ -277,7 +278,7 @@ def fused_vesselness_tensor(
         slab = lax.dynamic_slice_in_dim(u_pad, i * z_slab, z_slab + 2 * radius, 0)
         resp, t = _fused_scales(
             slab, scales, spacing, alpha, beta, gamma, epsilon, omega,
-            sensitivity, radius, hessian_mode,
+            sensitivity, radius, hessian_mode, allow_pallas,
         )
         return (resp, *t)
 
@@ -289,6 +290,7 @@ def fused_vesselness_tensor(
 def _fused_scales(
     u, scales, spacing, alpha, beta, gamma, epsilon, omega, sensitivity,
     z_valid_radius, hessian_mode="gaussian_derivative",
+    allow_pallas: bool = True,
 ):
     # Low-precision pipelines store the streamed volumes (smoothed fields,
     # Hessian planes, running best) in the field dtype but run all the
@@ -311,7 +313,8 @@ def _fused_scales(
     best_h = None
     for sigma in scales:
         h = hessian(u, sigma, spacing, normalize_across_scale=True,
-                    z_valid_radius=z_valid_radius, mode=hessian_mode)
+                    z_valid_radius=z_valid_radius, mode=hessian_mode,
+                    allow_pallas=allow_pallas)
         w, _ = eigh3(up(h), compute_vectors=False)
         resp = vesselness_measure(sort_by_abs3(w), alpha, beta, gamma)
         if best_resp is None:
@@ -374,11 +377,12 @@ def _compiled_vesselness_pipeline(
     z_slab: int | None = None,
     hessian_mode: str = "gaussian_derivative",
     pipeline_dtype: str | None = None,
+    allow_pallas: bool = True,
 ):
     def pipeline(u):
         return fused_vesselness_tensor(
             u, scales, spacing, alpha, beta, gamma, epsilon, omega,
-            sensitivity, z_slab, hessian_mode, pipeline_dtype,
+            sensitivity, z_slab, hessian_mode, pipeline_dtype, allow_pallas,
         )
 
     return jax.jit(pipeline)
@@ -434,6 +438,9 @@ def ved(
         z_slab,
         config.hessian_mode,
         config.pipeline_dtype,
+        # a pallas_call cannot be partitioned by GSPMD: mesh-sharded
+        # pipelines stay in pure XLA
+        mesh is None,
     )
     mad_cfg = config.mad_config()
 

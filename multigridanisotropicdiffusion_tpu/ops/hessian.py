@@ -63,7 +63,8 @@ def gaussian_kernels_1d(
 
 
 def _conv_axis(
-    u: jnp.ndarray, kernel: np.ndarray, axis: int, valid: bool = False
+    u: jnp.ndarray, kernel: np.ndarray, axis: int, valid: bool = False,
+    allow_pallas: bool = True,
 ) -> jnp.ndarray:
     """Correlate ``u`` with a 1-D kernel along ``axis``.
 
@@ -73,9 +74,11 @@ def _conv_axis(
 
     On the TPU backend, eligible 3D passes route through the fused Pallas
     per-axis kernels (ops.pallas_conv) — the XLA shifted-slice chain below
-    runs ~6x off HBM speed-of-light at 512^3.
+    runs ~6x off HBM speed-of-light at 512^3.  ``allow_pallas=False``
+    keeps the pass in pure XLA (mesh-sharded pipelines: the SPMD
+    partitioner cannot partition a pallas_call).
     """
-    if u.ndim == 3 and jnp.issubdtype(u.dtype, jnp.floating):
+    if allow_pallas and u.ndim == 3 and jnp.issubdtype(u.dtype, jnp.floating):
         import jax
 
         if jax.default_backend() == "tpu":
@@ -126,6 +129,7 @@ def hessian(
     normalize_across_scale: bool = True,
     z_valid_radius: int | None = None,
     mode: str = "gaussian_derivative",
+    allow_pallas: bool = True,
 ):
     """Gaussian-smoothed Hessian field as the canonical symmetric plane tuple
     (core.symfield order: ((0,0), (0,1), ..., upper triangle row-major)).
@@ -160,7 +164,8 @@ def hessian(
         spacing = (1.0,) * ndim
     if mode == "smooth_fd":
         return _hessian_smooth_fd(
-            u, sigma, spacing, normalize_across_scale, z_valid_radius
+            u, sigma, spacing, normalize_across_scale, z_valid_radius,
+            allow_pallas,
         )
     if mode != "gaussian_derivative":
         raise ValueError(f"unknown hessian mode: {mode!r}")
@@ -182,7 +187,8 @@ def hessian(
         out = u
         for d, o in enumerate(orders):
             out = _conv_axis(out, kernels[d][o], d,
-                             valid=(d == 0 and z_valid_radius is not None))
+                             valid=(d == 0 and z_valid_radius is not None),
+                             allow_pallas=allow_pallas)
         return out
 
     norm = float(sigma) ** 2 if normalize_across_scale else 1.0
@@ -205,6 +211,7 @@ def _hessian_smooth_fd(
     spacing: Sequence[float],
     normalize_across_scale: bool,
     z_valid_radius: int | None,
+    allow_pallas: bool = True,
 ):
     """smooth-then-finite-difference Hessian (see :func:`hessian` mode docs)."""
     ndim = u.ndim
@@ -236,9 +243,10 @@ def _hessian_smooth_fd(
                 )
             extra = (z_valid_radius - 1) - r
             g = np.pad(g, (extra, extra))
-            us = _conv_axis(us, g, 0, valid=True)
+            us = _conv_axis(us, g, 0, valid=True,
+                            allow_pallas=allow_pallas)
         else:
-            us = _conv_axis(us, g, d)
+            us = _conv_axis(us, g, d, allow_pallas=allow_pallas)
 
     # 2) one fused central-difference stencil pass over the smoothed field.
     # Axis 0 in valid-z mode already carries its 1-thick halo; other axes get

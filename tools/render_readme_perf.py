@@ -175,9 +175,12 @@ def render_weak_scaling(bench: dict) -> str:
         "solve**\nat fixed per-chip blocks, 1→8 devices along one axis.  On "
         "virtual devices\nall \"chips\" share the host's silicon, so perfect "
         "weak scaling is\n`t_c = c·t_1` and the *plumbing efficiency* "
-        "`t_1·c/t_c` lower-bounds what\nreal chips would see.  With 128³ "
-        f"per-chip blocks the explicit-halo (overlap)\npath measures "
-        f"**{ov_s}** at 2/4/8 chips; the gspmd path reads {gs_s} at 8.",
+        "`t_1·c/t_c` lower-bounds what\nreal chips would see — and it "
+        "penalizes every single-chip speedup (the\nround-4 coarse-inverse "
+        "and kernel work cut `t_1` ~3×, which alone lowers\nthis ratio at "
+        "fixed sharding overheads).  With 128³ per-chip blocks the\n"
+        f"explicit-halo (overlap) path measures **{ov_s}** at 2/4/8 chips; "
+        f"the gspmd\npath reads {gs_s} at 8.",
     ]
     b = w.get("breakdown")
     if b:
