@@ -251,6 +251,23 @@ def _hessian_smooth_fd(
     # 2) one fused central-difference stencil pass over the smoothed field.
     # Axis 0 in valid-z mode already carries its 1-thick halo; other axes get
     # edge-replicate halos (≅ the default mode's edge-replicated convs).
+    norm_ = float(sigma) ** 2 if normalize_across_scale else 1.0
+    if allow_pallas and ndim == 3 and jnp.issubdtype(us.dtype, jnp.floating):
+        import jax
+
+        if jax.default_backend() == "tpu":
+            from .pallas_conv import pallas_fd_hessian, pallas_fd_supported
+
+            if pallas_fd_supported(
+                tuple(us.shape), jnp.dtype(us.dtype).itemsize
+            ):
+                h0, h1, h2 = (float(h) for h in spacing)
+                facs = (
+                    norm_ / h0 ** 2, norm_ / (4 * h0 * h1),
+                    norm_ / (4 * h0 * h2), norm_ / h1 ** 2,
+                    norm_ / (4 * h1 * h2), norm_ / h2 ** 2,
+                )
+                return pallas_fd_hessian(us, facs)
     pad = [(1, 1)] * ndim
     if valid_z:
         pad[0] = (0, 0)

@@ -373,3 +373,134 @@ def pallas_conv_axis(u: jnp.ndarray, kernel, axis: int,
     if axis == 2:
         return pallas_conv_x(u, kernel, interpret=interpret)
     raise ValueError(f"bad axis {axis}")
+
+
+# ---------------------------------------------------------------------------
+# fused central-difference Hessian (the smooth_fd FD pass)
+# ---------------------------------------------------------------------------
+
+
+def _fd_kernel(ty: int, x: int, nyb: int, facs, *refs):
+    """Six second-derivative planes from the smoothed field in one pass.
+
+    ``refs``: for dz in (0, 1, 2): (main, top, bot) y-halo-stitched blocks of
+    the z rows ``k + dz`` of the valid-z input (1-thick z halo present);
+    then the six output planes (canonical symmetric order).  ``facs`` are
+    the static ``norm / h^2`` factors.  Edge replication on y/x is patched
+    in-kernel (global borders), matching the XLA pad(mode='edge') form.
+    """
+    j = pl.program_id(1)
+    f00, f01, f02, f11, f12, f22 = facs
+    outs = refs[9:]
+
+    def stitched(i):
+        main, top, bot = refs[3 * i], refs[3 * i + 1], refs[3 * i + 2]
+        cd = jnp.float64 if main.dtype.itemsize == 8 else jnp.float32
+        m = main[0].astype(cd)  # (ty, x)
+        hh = top.shape[1]
+        t = top[0, hh - 1:hh, :].astype(cd)
+        b = bot[0, 0:1, :].astype(cd)
+        # global y borders: edge-replicate instead of the clamped garbage row
+        t = jnp.where(j == 0, m[0:1], t)
+        b = jnp.where(j == nyb - 1, m[ty - 1:ty], b)
+        return jnp.concatenate([t, m, b], axis=0)  # (ty + 2, x)
+
+    p0, p1, p2 = stitched(0), stitched(1), stitched(2)
+    planes = (p0, p1, p2)
+    col = jax.lax.broadcasted_iota(jnp.int32, (ty, x), 1)
+
+    def sh(dz, dy, dx):
+        rows = planes[1 + dz][1 + dy:1 + dy + ty, :]
+        if dx == 0:
+            return rows
+        shifted = jnp.roll(rows, -dx, axis=1)
+        if dx > 0:  # last column replicates the edge, not the wraparound
+            return jnp.where(col == x - 1, rows[:, x - 1:x], shifted)
+        return jnp.where(col == 0, rows[:, 0:1], shifted)
+
+    c = sh(0, 0, 0)
+    outs[0][...] = ((sh(1, 0, 0) - 2.0 * c + sh(-1, 0, 0)) * f00)[None].astype(
+        outs[0].dtype)
+    outs[1][...] = ((sh(1, 1, 0) - sh(1, -1, 0) - sh(-1, 1, 0)
+                     + sh(-1, -1, 0)) * f01)[None].astype(outs[1].dtype)
+    outs[2][...] = ((sh(1, 0, 1) - sh(1, 0, -1) - sh(-1, 0, 1)
+                     + sh(-1, 0, -1)) * f02)[None].astype(outs[2].dtype)
+    outs[3][...] = ((sh(0, 1, 0) - 2.0 * c + sh(0, -1, 0)) * f11)[None].astype(
+        outs[3].dtype)
+    outs[4][...] = ((sh(0, 1, 1) - sh(0, 1, -1) - sh(0, -1, 1)
+                     + sh(0, -1, -1)) * f12)[None].astype(outs[4].dtype)
+    outs[5][...] = ((sh(0, 0, 1) - 2.0 * c + sh(0, 0, -1)) * f22)[None].astype(
+        outs[5].dtype)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_fd(shape: Tuple[int, ...], dtype_name: str,
+              facs: Tuple[float, ...], interpret: bool):
+    """``shape`` is the valid-z input (zo + 2, y, x); outputs are (zo, y, x)."""
+    zp, y, x = shape
+    zo = zp - 2
+    dtype = jnp.dtype(dtype_name)
+    g = _granule(dtype.itemsize)
+    ty = _pick_tile(y, 1, g, cap=max(g, (6 * 1024 * 1024) // (30 * x * 4)))
+    nyb = y // ty
+    hh = g
+
+    def main_at(dz):
+        return pl.BlockSpec((1, ty, x), lambda k, j, dz=dz: (k + dz, j, 0))
+
+    def top_at(dz):
+        return pl.BlockSpec(
+            (1, hh, x),
+            lambda k, j, dz=dz: (k + dz,
+                                 jnp.maximum(j * (ty // hh) - 1, 0), 0),
+        )
+
+    def bot_at(dz):
+        return pl.BlockSpec(
+            (1, hh, x),
+            lambda k, j, dz=dz: (k + dz,
+                                 jnp.minimum((j + 1) * (ty // hh),
+                                             y // hh - 1), 0),
+        )
+
+    specs = []
+    for dz in (0, 1, 2):
+        specs += [main_at(dz), top_at(dz), bot_at(dz)]
+    out_spec = pl.BlockSpec((1, ty, x), lambda k, j: (k, j, 0))
+    kernel = functools.partial(_fd_kernel, ty, x, nyb, facs)
+    call = pl.pallas_call(
+        kernel,
+        grid=(zo, nyb),
+        in_specs=specs,
+        out_specs=[out_spec] * 6,
+        out_shape=[jax.ShapeDtypeStruct((zo, y, x), dtype)] * 6,
+        interpret=interpret,
+    )
+
+    def run(us):
+        return tuple(call(*([us] * 9)))
+
+    return run
+
+
+def pallas_fd_supported(shape: Tuple[int, ...], itemsize: int) -> bool:
+    """Valid-z FD pass eligibility: (zo + 2, y, x) with whole lane tiles and
+    granule-aligned y."""
+    if len(shape) != 3:
+        return False
+    zp, y, x = shape
+    g = _granule(itemsize)
+    return zp >= 3 and x % _LANE == 0 and y % g == 0 and \
+        _pick_tile(y, 1, g) is not None
+
+
+def pallas_fd_hessian(us: jnp.ndarray, facs: Tuple[float, ...],
+                      interpret: bool | None = None):
+    """Fused 6-plane central-difference Hessian of a valid-z smoothed field
+    (1-thick z halo present; y/x edge-replicated in-kernel).  ``facs`` =
+    (f00, f01, f02, f11, f12, f22) static normalization factors."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    run = _build_fd(tuple(us.shape), jnp.dtype(us.dtype).name,
+                    tuple(float(f) for f in facs), bool(interpret))
+    return run(us)

@@ -70,6 +70,51 @@ def test_pallas_conv_large_sigma_y(rng):
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-13)
 
 
+def test_pallas_fd_hessian_matches_xla(rng):
+    """The fused 6-plane FD kernel vs the XLA shifted-slice FD pass (exact:
+    same taps, same edge replication on y/x, same z-halo consumption)."""
+    from multigridanisotropicdiffusion_tpu.ops.hessian import _hessian_smooth_fd
+    from multigridanisotropicdiffusion_tpu.ops.pallas_conv import (
+        pallas_fd_hessian,
+        pallas_fd_supported,
+    )
+
+    spacing = (0.5, 0.3125, 0.3125)
+    sigma = 1.0
+    shape = (20, 16, 256)
+    u = jnp.asarray(rng.normal(size=shape))
+    want = _hessian_smooth_fd(u, sigma, spacing, True, None,
+                              allow_pallas=False)
+    # reproduce the smoothed valid-z field the production path feeds the FD
+    from multigridanisotropicdiffusion_tpu.ops.hessian import (
+        _conv_axis,
+        gaussian_kernels_1d,
+        kernel_radius,
+    )
+
+    r = kernel_radius(sigma, spacing[0]) + 1
+    up = jnp.pad(u, ((r, r), (0, 0), (0, 0)), mode="edge")
+    us = up
+    for d in range(3):
+        g = gaussian_kernels_1d(sigma, spacing[d])[0]
+        if d == 0:
+            extra = (r - 1) - (len(g) - 1) // 2
+            g = np.pad(np.asarray(g), (extra, extra))
+            us = _conv_axis(us, g, 0, valid=True)
+        else:
+            us = _conv_axis(us, g, d)
+    assert pallas_fd_supported(tuple(us.shape), 8)
+    norm = sigma ** 2
+    h0, h1, h2 = spacing
+    facs = (norm / h0**2, norm / (4 * h0 * h1), norm / (4 * h0 * h2),
+            norm / h1**2, norm / (4 * h1 * h2), norm / h2**2)
+    got = pallas_fd_hessian(us, facs, interpret=True)
+    assert len(got) == 6
+    for k, (g_, w_) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(np.asarray(g_), np.asarray(w_),
+                                   rtol=1e-12, atol=1e-13, err_msg=str(k))
+
+
 def test_pallas_conv_support_gate():
     assert not pallas_conv_supported((12, 16, 250), 2, 9, 4)  # x % 128
     assert not pallas_conv_supported((12, 12, 256), 1, 9, 4)  # y % granule
