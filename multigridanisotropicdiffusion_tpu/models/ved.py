@@ -79,10 +79,18 @@ class VEDConfig:
     #: cycles (see MADConfig.halo / MADConfig.defect_dtype).
     halo: str = "gspmd"
     defect_dtype: str | None = None
-    #: 'gaussian_derivative' (exact derivative kernels, the default) or
-    #: 'smooth_fd' (smooth once + central differences, ~3x fewer conv
-    #: passes; see ops.hessian).
-    hessian_mode: str = "gaussian_derivative"
+    #: Hessian discretization (see ops.hessian mode docs):
+    #:   'smooth_fd' (default) — smooth once per scale + 2nd-order central
+    #:     differences, fused Pallas FD pass; ~3x fewer long-kernel conv
+    #:     passes, compiles in seconds at 512^3.  Same accuracy class as the
+    #:     reference's recursive-IIR Gaussian approximation
+    #:     (oracle-validated, tests/test_ved_oracle.py).
+    #:   'gaussian_derivative' — exact sampled Gaussian-derivative kernels
+    #:     per component (the reference-faithful analytic form).  NOTE: its
+    #:     per-(sigma, axis, order) Pallas conv variants make the first
+    #:     512^3 compile take minutes on TPU; it stopped being the default
+    #:     in round 5 for that reason.
+    hessian_mode: str = "smooth_fd"
     #: storage dtype for the vesselness pipeline's streamed fields (e.g.
     #: 'bfloat16' halves the conv/eig/select HBM traffic — the dominant
     #: pipeline cost).  Tap accumulation, finite differences, eigensolves,

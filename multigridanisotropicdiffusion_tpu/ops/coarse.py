@@ -11,36 +11,63 @@ the MXU instead of a pair of sequential triangular solves — measured ~1 ms
 per visit for the triangular form at N = 512 on TPU (latency-bound row
 recurrences) vs matvec noise.  At these sizes and conditioning the inverse
 application agrees with back-substitution to ~N * cond(A) * eps, far below
-every solver tolerance.  No sparse machinery needed.
+every solver tolerance.  A cheap conditioning proxy guards the shortcut: when
+``min|diag(U)| / max|diag(U)|`` of the LU indicates a pathologically
+conditioned coarsest operator, :func:`coarse_solve` falls back to the
+triangular back-substitution pair at apply time (a traced ``lax.cond`` — the
+factorization is built inside jit, so the check cannot run host-side).
+No sparse machinery needed.
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
 from ..core.stencil import StencilOperator, densify
 
+#: rcond proxy below which the precomputed-inverse matvec is not trusted and
+#: the apply falls back to triangular back-substitution.  The diffusion
+#: operator A = I - dt*L is SPD-like and diagonally dominant, so in practice
+#: the proxy sits many orders of magnitude above this.
+_RCOND_PROXY_FLOOR = 1e4
+
 
 class CoarseSolver(NamedTuple):
-    """Precomputed inverse of the coarsest-level operator (via its LU)."""
+    """Precomputed inverse of the coarsest-level operator plus its LU (the
+    conditioning-guarded back-substitution fallback)."""
 
     inv: jnp.ndarray
+    lu: jnp.ndarray
+    piv: jnp.ndarray
+    #: True when min|diag(U)|/max|diag(U)| clears the conditioning floor
+    #: (traced scalar; selects the inverse matvec vs lu_solve at apply time).
+    inv_ok: jnp.ndarray
     shape: Tuple[int, ...]
 
 
 def build_coarse_solver(op: StencilOperator) -> CoarseSolver:
     a = densify(op)
     lu, piv = jsl.lu_factor(a)
+    d = jnp.abs(jnp.diagonal(lu))
+    eps = jnp.finfo(a.dtype).eps
+    inv_ok = jnp.min(d) > _RCOND_PROXY_FLOOR * a.shape[0] * eps * jnp.max(d)
     inv = jsl.lu_solve((lu, piv), jnp.eye(a.shape[0], dtype=a.dtype))
-    return CoarseSolver(inv=inv, shape=op.shape)
+    return CoarseSolver(inv=inv, lu=lu, piv=piv, inv_ok=inv_ok, shape=op.shape)
 
 
 def coarse_solve(solver: CoarseSolver, b: jnp.ndarray) -> jnp.ndarray:
-    """Inverse application; low-precision rhs (mixed-precision defect cycles)
-    are solved in the setup precision and cast back."""
+    """Inverse application (back-substitution when the conditioning proxy
+    failed at setup); low-precision rhs (mixed-precision defect cycles) are
+    solved in the setup precision and cast back."""
     rhs = b.reshape(-1).astype(solver.inv.dtype)
-    x = solver.inv @ rhs
+    x = jax.lax.cond(
+        solver.inv_ok,
+        lambda r: solver.inv @ r,
+        lambda r: jsl.lu_solve((solver.lu, solver.piv), r),
+        rhs,
+    )
     return x.reshape(b.shape).astype(b.dtype)

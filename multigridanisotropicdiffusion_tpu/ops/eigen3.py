@@ -43,18 +43,46 @@ def _dot(u, v):
     return u[0] * v[0] + u[1] * v[1] + u[2] * v[2]
 
 
-def eigvalsh3(planes: SymPlanes):
+#: Abramowitz & Stegun 4.4.46 coefficients: acos(x) ~ sqrt(1-x) * poly(x) on
+#: [0, 1], |error| <= 2e-8 (below f32 eps) — used where the acos primitive
+#: does not exist (Mosaic/Pallas TPU kernels).
+_ACOS_COEFFS = (
+    1.5707963050, -0.2145988016, 0.0889789874, -0.0501743046,
+    0.0308918810, -0.0170881256, 0.0066700901, -0.0012624911,
+)
+
+
+def acos_poly(x: jnp.ndarray) -> jnp.ndarray:
+    """Polynomial arccos for inputs in [-1, 1] (A&S 4.4.46, abs error ~2e-8).
+
+    Mosaic has no ``acos``/``atan2`` lowering, so Pallas kernels that need the
+    trigonometric 3x3 eigenvalue formula pass this as ``acos_fn``.  Built from
+    sqrt + multiply-adds only.
+    """
+    ax = jnp.abs(x)
+    p = jnp.asarray(_ACOS_COEFFS[-1], x.dtype)
+    for c in _ACOS_COEFFS[-2::-1]:
+        p = p * ax + jnp.asarray(c, x.dtype)
+    r = jnp.sqrt(jnp.maximum(1.0 - ax, 0.0)) * p
+    return jnp.where(x < 0, jnp.asarray(jnp.pi, x.dtype) - r, r)
+
+
+def eigvalsh3(planes: SymPlanes, acos_fn=jnp.arccos):
     """Eigenvalues (ascending) as three planes."""
-    w, _ = eigh3(planes, compute_vectors=False)
+    w, _ = eigh3(planes, compute_vectors=False, acos_fn=acos_fn)
     return w
 
 
-def eigh3(planes: SymPlanes, compute_vectors: bool = True):
+def eigh3(planes: SymPlanes, compute_vectors: bool = True,
+          acos_fn=jnp.arccos):
     """Analytic eigendecomposition from symmetric component planes.
 
     Returns ``(w, v)``: ``w = (w0, w1, w2)`` eigenvalue planes ascending, and
     ``v[i][j]`` the ``i``-th component plane of the unit eigenvector for
     ``w[j]`` (``None`` when ``compute_vectors=False``).
+
+    ``acos_fn`` swaps the arccos implementation (:func:`acos_poly` inside
+    Pallas TPU kernels, where the acos primitive has no Mosaic lowering).
     """
     a00, a01, a02, a11, a12, a22 = planes  # canonical symfield order
     dtype = a00.dtype
@@ -85,7 +113,7 @@ def eigh3(planes: SymPlanes, compute_vectors: bool = True):
         + c02 * (c01 * c12 - c11 * c02)
     )
     r = jnp.clip(detb / 2.0, -1.0, 1.0)
-    phi = jnp.arccos(r) / 3.0
+    phi = acos_fn(r) / 3.0
 
     two_pi_3 = 2.0 * jnp.pi / 3.0
     w_hi = q + 2.0 * p * jnp.cos(phi)

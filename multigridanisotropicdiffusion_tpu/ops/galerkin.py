@@ -301,7 +301,13 @@ def assemble_galerkin(
             hit = (coords[d] % moduli[d]) == phase[d]
             comb = hit if comb is None else jnp.logical_and(comb, hit)
         v = comb.astype(dtype)
-        return restrict(fine_op.apply(prolong(v, centering)), centering)
+        # lane_mm=False: the probe path must stay partitionable (a lane-mm /
+        # Pallas transfer is an unpartitionable pallas_call under GSPMD), and
+        # assembly-time probes are not a hot path.
+        return restrict(
+            fine_op.apply(prolong(v, centering, lane_mm=False)),
+            centering, lane_mm=False,
+        )
 
     w_stack = jax.lax.map(
         probe, jnp.asarray(phases), batch_size=min(probe_batch, len(phases))

@@ -205,35 +205,33 @@ def hessian(
     return tuple(planes)
 
 
-def _hessian_smooth_fd(
+def smoothed_field_valid_z(
     u: jnp.ndarray,
     sigma: float,
     spacing: Sequence[float],
-    normalize_across_scale: bool,
-    z_valid_radius: int | None,
+    z_valid_radius: int | None = None,
     allow_pallas: bool = True,
-):
-    """smooth-then-finite-difference Hessian (see :func:`hessian` mode docs)."""
+) -> jnp.ndarray:
+    """Gaussian-smooth ``u`` (one 1-D pass per axis) keeping a 1-thick z halo
+    for a subsequent valid-z finite-difference pass.
+
+    With ``z_valid_radius`` the input already carries that z halo (z-slab
+    pipeline) and the smoothing consumes ``z_valid_radius - 1`` of it; without
+    it the input is self-padded (edge replication) first, so tiled and
+    untiled pipelines agree bitwise at the global z borders.  The output's
+    axis 0 is the FD output extent + 2.
+    """
     ndim = u.ndim
     if z_valid_radius is None:
-        # Self-pad and run the valid-z path, so the untiled and z-slab-tiled
-        # pipelines agree bitwise at the global z borders (the halo is the
-        # edge-replicated *input*, smoothed — not the smoothed field,
-        # replicated).
         r = kernel_radius(float(sigma), float(spacing[0]))
         z_valid_radius = r + 1
         pad = [(0, 0)] * ndim
         pad[0] = (z_valid_radius, z_valid_radius)
         u = jnp.pad(u, pad, mode="edge")
-    valid_z = True
-
-    # 1) Gaussian smoothing, one 1-D pass per axis.  In valid-z mode the
-    # smoothing consumes z_valid_radius - 1 of the halo, leaving the 1-thick
-    # shell the finite differences need.
     us = u
     for d in range(ndim):
         g = gaussian_kernels_1d(float(sigma), float(spacing[d]))[0]
-        if d == 0 and valid_z:
+        if d == 0:
             r = (len(g) - 1) // 2
             if z_valid_radius < r + 1:
                 raise ValueError(
@@ -247,11 +245,40 @@ def _hessian_smooth_fd(
                             allow_pallas=allow_pallas)
         else:
             us = _conv_axis(us, g, d, allow_pallas=allow_pallas)
+    return us
+
+
+def fd_factors(
+    sigma: float, spacing: Sequence[float],
+    normalize_across_scale: bool = True,
+) -> Tuple[float, ...]:
+    """Static per-plane normalization factors of the 3D central-difference
+    Hessian (canonical symmetric order): (f00, f01, f02, f11, f12, f22)."""
+    norm = float(sigma) ** 2 if normalize_across_scale else 1.0
+    h0, h1, h2 = (float(h) for h in spacing)
+    return (
+        norm / h0 ** 2, norm / (4 * h0 * h1), norm / (4 * h0 * h2),
+        norm / h1 ** 2, norm / (4 * h1 * h2), norm / h2 ** 2,
+    )
+
+
+def _hessian_smooth_fd(
+    u: jnp.ndarray,
+    sigma: float,
+    spacing: Sequence[float],
+    normalize_across_scale: bool,
+    z_valid_radius: int | None,
+    allow_pallas: bool = True,
+):
+    """smooth-then-finite-difference Hessian (see :func:`hessian` mode docs)."""
+    ndim = u.ndim
+    valid_z = True
+    us = smoothed_field_valid_z(u, sigma, spacing, z_valid_radius,
+                                allow_pallas)
 
     # 2) one fused central-difference stencil pass over the smoothed field.
     # Axis 0 in valid-z mode already carries its 1-thick halo; other axes get
     # edge-replicate halos (≅ the default mode's edge-replicated convs).
-    norm_ = float(sigma) ** 2 if normalize_across_scale else 1.0
     if allow_pallas and ndim == 3 and jnp.issubdtype(us.dtype, jnp.floating):
         import jax
 
@@ -261,13 +288,9 @@ def _hessian_smooth_fd(
             if pallas_fd_supported(
                 tuple(us.shape), jnp.dtype(us.dtype).itemsize
             ):
-                h0, h1, h2 = (float(h) for h in spacing)
-                facs = (
-                    norm_ / h0 ** 2, norm_ / (4 * h0 * h1),
-                    norm_ / (4 * h0 * h2), norm_ / h1 ** 2,
-                    norm_ / (4 * h1 * h2), norm_ / h2 ** 2,
+                return pallas_fd_hessian(
+                    us, fd_factors(sigma, spacing, normalize_across_scale)
                 )
-                return pallas_fd_hessian(us, facs)
     pad = [(1, 1)] * ndim
     if valid_z:
         pad[0] = (0, 0)

@@ -338,9 +338,11 @@ def pallas_conv_x(u: jnp.ndarray, kernel,
 
 
 def pallas_conv_supported(shape: Tuple[int, ...], axis: int, nw: int,
-                          itemsize: int, valid: bool = False) -> bool:
-    """Eligibility for routing an ``ops.hessian._conv_axis`` call here."""
-    if len(shape) != 3:
+                          itemsize: int, valid: bool = False,
+                          interpret: bool = False) -> bool:
+    """Eligibility for routing an ``ops.hessian._conv_axis`` call here.
+    ``interpret`` lifts the no-f64 restriction (Mosaic-only)."""
+    if len(shape) != 3 or (itemsize > 4 and not interpret):
         return False
     z, y, x = shape
     r = (nw - 1) // 2
@@ -380,21 +382,21 @@ def pallas_conv_axis(u: jnp.ndarray, kernel, axis: int,
 # ---------------------------------------------------------------------------
 
 
-def _fd_kernel(ty: int, x: int, nyb: int, facs, *refs):
-    """Six second-derivative planes from the smoothed field in one pass.
+def _fd_plane_blocks(ty: int, x: int, nyb: int, facs, in_refs, j):
+    """Six (ty, x) central-difference Hessian plane blocks (compute dtype)
+    from 9 y-halo-stitched valid-z input refs at y-grid position ``j``.
 
-    ``refs``: for dz in (0, 1, 2): (main, top, bot) y-halo-stitched blocks of
-    the z rows ``k + dz`` of the valid-z input (1-thick z halo present);
-    then the six output planes (canonical symmetric order).  ``facs`` are
-    the static ``norm / h^2`` factors.  Edge replication on y/x is patched
-    in-kernel (global borders), matching the XLA pad(mode='edge') form.
+    ``in_refs``: for dz in (0, 1, 2): (main, top, bot) blocks of the z rows
+    ``k + dz`` of the valid-z input (1-thick z halo present).  ``facs`` are
+    the static ``norm / h^2`` factors (canonical symmetric order).  Edge
+    replication on y/x is patched in-kernel (global borders), matching the
+    XLA pad(mode='edge') form.  Shared by the plain FD-Hessian kernel and
+    the fused FD+vesselness+select kernel (ops.pallas_vesselness).
     """
-    j = pl.program_id(1)
     f00, f01, f02, f11, f12, f22 = facs
-    outs = refs[9:]
 
     def stitched(i):
-        main, top, bot = refs[3 * i], refs[3 * i + 1], refs[3 * i + 2]
+        main, top, bot = in_refs[3 * i], in_refs[3 * i + 1], in_refs[3 * i + 2]
         cd = jnp.float64 if main.dtype.itemsize == 8 else jnp.float32
         m = main[0].astype(cd)  # (ty, x)
         hh = top.shape[1]
@@ -405,8 +407,7 @@ def _fd_kernel(ty: int, x: int, nyb: int, facs, *refs):
         b = jnp.where(j == nyb - 1, m[ty - 1:ty], b)
         return jnp.concatenate([t, m, b], axis=0)  # (ty + 2, x)
 
-    p0, p1, p2 = stitched(0), stitched(1), stitched(2)
-    planes = (p0, p1, p2)
+    planes = (stitched(0), stitched(1), stitched(2))
     col = jax.lax.broadcasted_iota(jnp.int32, (ty, x), 1)
 
     def sh(dz, dy, dx):
@@ -419,31 +420,30 @@ def _fd_kernel(ty: int, x: int, nyb: int, facs, *refs):
         return jnp.where(col == 0, rows[:, 0:1], shifted)
 
     c = sh(0, 0, 0)
-    outs[0][...] = ((sh(1, 0, 0) - 2.0 * c + sh(-1, 0, 0)) * f00)[None].astype(
-        outs[0].dtype)
-    outs[1][...] = ((sh(1, 1, 0) - sh(1, -1, 0) - sh(-1, 1, 0)
-                     + sh(-1, -1, 0)) * f01)[None].astype(outs[1].dtype)
-    outs[2][...] = ((sh(1, 0, 1) - sh(1, 0, -1) - sh(-1, 0, 1)
-                     + sh(-1, 0, -1)) * f02)[None].astype(outs[2].dtype)
-    outs[3][...] = ((sh(0, 1, 0) - 2.0 * c + sh(0, -1, 0)) * f11)[None].astype(
-        outs[3].dtype)
-    outs[4][...] = ((sh(0, 1, 1) - sh(0, 1, -1) - sh(0, -1, 1)
-                     + sh(0, -1, -1)) * f12)[None].astype(outs[4].dtype)
-    outs[5][...] = ((sh(0, 0, 1) - 2.0 * c + sh(0, 0, -1)) * f22)[None].astype(
-        outs[5].dtype)
+    return (
+        (sh(1, 0, 0) - 2.0 * c + sh(-1, 0, 0)) * f00,
+        (sh(1, 1, 0) - sh(1, -1, 0) - sh(-1, 1, 0) + sh(-1, -1, 0)) * f01,
+        (sh(1, 0, 1) - sh(1, 0, -1) - sh(-1, 0, 1) + sh(-1, 0, -1)) * f02,
+        (sh(0, 1, 0) - 2.0 * c + sh(0, -1, 0)) * f11,
+        (sh(0, 1, 1) - sh(0, 1, -1) - sh(0, -1, 1) + sh(0, -1, -1)) * f12,
+        (sh(0, 0, 1) - 2.0 * c + sh(0, 0, -1)) * f22,
+    )
 
 
-@functools.lru_cache(maxsize=256)
-def _build_fd(shape: Tuple[int, ...], dtype_name: str,
-              facs: Tuple[float, ...], interpret: bool):
-    """``shape`` is the valid-z input (zo + 2, y, x); outputs are (zo, y, x)."""
-    zp, y, x = shape
-    zo = zp - 2
-    dtype = jnp.dtype(dtype_name)
-    g = _granule(dtype.itemsize)
-    ty = _pick_tile(y, 1, g, cap=max(g, (6 * 1024 * 1024) // (30 * x * 4)))
-    nyb = y // ty
-    hh = g
+def _fd_kernel(ty: int, x: int, nyb: int, facs, *refs):
+    """Six second-derivative planes from the smoothed field in one pass
+    (see :func:`_fd_plane_blocks`)."""
+    j = pl.program_id(1)
+    outs = refs[9:]
+    planes = _fd_plane_blocks(ty, x, nyb, facs, refs[:9], j)
+    for o, p in zip(outs, planes):
+        o[...] = p[None].astype(o.dtype)
+
+
+def _fd_in_specs(y: int, x: int, ty: int, hh: int):
+    """The 9 stitched valid-z input BlockSpecs of the FD-pass family: for each
+    dz in (0, 1, 2) a (main, top-halo, bottom-halo) triple (halos fetched as
+    ``hh``-row granule blocks, index-clamped at the global y borders)."""
 
     def main_at(dz):
         return pl.BlockSpec((1, ty, x), lambda k, j, dz=dz: (k + dz, j, 0))
@@ -466,6 +466,20 @@ def _build_fd(shape: Tuple[int, ...], dtype_name: str,
     specs = []
     for dz in (0, 1, 2):
         specs += [main_at(dz), top_at(dz), bot_at(dz)]
+    return specs
+
+
+@functools.lru_cache(maxsize=256)
+def _build_fd(shape: Tuple[int, ...], dtype_name: str,
+              facs: Tuple[float, ...], interpret: bool):
+    """``shape`` is the valid-z input (zo + 2, y, x); outputs are (zo, y, x)."""
+    zp, y, x = shape
+    zo = zp - 2
+    dtype = jnp.dtype(dtype_name)
+    g = _granule(dtype.itemsize)
+    ty = _pick_tile(y, 1, g, cap=max(g, (6 * 1024 * 1024) // (30 * x * 4)))
+    nyb = y // ty
+    specs = _fd_in_specs(y, x, ty, g)
     out_spec = pl.BlockSpec((1, ty, x), lambda k, j: (k, j, 0))
     kernel = functools.partial(_fd_kernel, ty, x, nyb, facs)
     call = pl.pallas_call(
@@ -483,10 +497,11 @@ def _build_fd(shape: Tuple[int, ...], dtype_name: str,
     return run
 
 
-def pallas_fd_supported(shape: Tuple[int, ...], itemsize: int) -> bool:
+def pallas_fd_supported(shape: Tuple[int, ...], itemsize: int,
+                        interpret: bool = False) -> bool:
     """Valid-z FD pass eligibility: (zo + 2, y, x) with whole lane tiles and
-    granule-aligned y."""
-    if len(shape) != 3:
+    granule-aligned y.  ``interpret`` lifts the no-f64 restriction."""
+    if len(shape) != 3 or (itemsize > 4 and not interpret):
         return False
     zp, y, x = shape
     g = _granule(itemsize)

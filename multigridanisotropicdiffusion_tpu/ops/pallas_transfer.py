@@ -49,11 +49,15 @@ def _sublane_granule(itemsize: int) -> int:
 
 
 def pallas_restrict_supported(
-    shape: Tuple[int, ...], centering, itemsize: int = 4
+    shape: Tuple[int, ...], centering, itemsize: int = 4,
+    interpret: bool = False,
 ) -> bool:
     """All-cell 3D fields with whole coarse lane tiles and granule-aligned
-    coarse y tiles."""
-    if len(shape) != 3 or any(c != CELL for c in centering):
+    coarse y tiles.  ``interpret`` lifts the no-f64 restriction
+    (Mosaic-only)."""
+    if len(shape) != 3 or (itemsize > 4 and not interpret):
+        return False
+    if any(c != CELL for c in centering):
         return False
     z, y, x = shape
     if z < 4 or z % 2 or y % 2 or x % (2 * _LANE):

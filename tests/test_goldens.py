@@ -70,6 +70,9 @@ def test_ved_volume_matches_golden():
     cfg = VEDConfig(
         omega=1.5, iterations=1, diffusion_iterations=4, time_step=0.1,
         tolerance=1e-10, diffusion_iterations_per_grid=3,
+        # the golden was produced with the analytic Gaussian-derivative
+        # Hessian (the pre-round-5 default; reference-faithful mode)
+        hessian_mode="gaussian_derivative",
     )
     res = ved(np.asarray(mi.data, np.float64), spacing=mi.spacing, config=cfg)
     rel = _rel_l2(np.asarray(res.output), g["output"])

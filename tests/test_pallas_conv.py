@@ -25,7 +25,7 @@ def test_pallas_conv_matches_conv_axis(rng, axis):
     shape = (12, 16, 256)
     x = jnp.asarray(rng.normal(size=shape))
     for name, k in _kernels():
-        assert pallas_conv_supported(shape, axis, len(k), 8), (name, axis)
+        assert pallas_conv_supported(shape, axis, len(k), 8, interpret=True), (name, axis)
         want = np.asarray(_conv_axis(x, np.asarray(k), axis))
         got = np.asarray(pallas_conv_axis(x, k, axis, interpret=True))
         np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-13,
@@ -64,7 +64,7 @@ def test_pallas_conv_large_sigma_y(rng):
     shape = (4, 32, 256)
     x = jnp.asarray(rng.normal(size=shape))
     g = gaussian_kernels_1d(4.0, 1.0)[0]  # radius 16
-    assert pallas_conv_supported(shape, 1, len(g), 8)
+    assert pallas_conv_supported(shape, 1, len(g), 8, interpret=True)
     want = np.asarray(_conv_axis(x, np.asarray(g), 1))
     got = np.asarray(pallas_conv_axis(x, g, 1, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-13)
@@ -103,7 +103,7 @@ def test_pallas_fd_hessian_matches_xla(rng):
             us = _conv_axis(us, g, 0, valid=True)
         else:
             us = _conv_axis(us, g, d)
-    assert pallas_fd_supported(tuple(us.shape), 8)
+    assert pallas_fd_supported(tuple(us.shape), 8, interpret=True)
     norm = sigma ** 2
     h0, h1, h2 = spacing
     facs = (norm / h0**2, norm / (4 * h0 * h1), norm / (4 * h0 * h2),

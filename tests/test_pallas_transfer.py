@@ -19,7 +19,7 @@ from multigridanisotropicdiffusion_tpu.ops.transfer import restrict
 ])
 def test_pallas_restrict_matches_slice_path(rng, shape):
     cent = ("c", "c", "c")
-    assert pallas_restrict_supported(shape, cent, 8)
+    assert pallas_restrict_supported(shape, cent, 8, interpret=True)
     x = jnp.asarray(rng.normal(size=shape))
     want = np.asarray(restrict(x, cent, lane_mm=False))
     got = np.asarray(pallas_restrict3d(x, interpret=True))

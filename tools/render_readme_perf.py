@@ -134,8 +134,9 @@ def render_ved(bench: dict) -> str:
         "| Stage | time |",
         "|---|---|",
         f"| vesselness pipeline (5 scales: Hessian, analytic eig, Frangi, "
-        f"tensor; z-slab-tiled) | {_f(v['ved_pipeline_s'])} s "
-        f"({_f(v['ved_pipeline_fd_s'])} s with `hessian_mode='smooth_fd'`, "
+        f"tensor; z-slab-tiled) | {_f(v['ved_pipeline_fd_s'])} s "
+        f"(default `hessian_mode='smooth_fd'`; {_f(v['ved_pipeline_s'])} s "
+        f"reference-exact `'gaussian_derivative'`, "
         f"**{_f(v['ved_pipeline_bf16_s'])} s** + "
         f"`pipeline_dtype='bfloat16'`) |",
         f"| hierarchy setup (compressed DCA, all levels + coarse LU) | "
