@@ -153,12 +153,17 @@ def vesselness_measure(
     l2_safe = jnp.where(bright_tube, l2, -1.0)
     l3_safe = jnp.where(bright_tube, l3, -1.0)
 
-    ra2 = (l2_safe * l2_safe) / (l3_safe * l3_safe)
-    rb2 = (l1 * l1) / jnp.abs(l2_safe * l3_safe)
+    # two reciprocals instead of three divides (divides are the VPU's most
+    # expensive elementwise op; this measure runs per voxel per scale)
+    inv2 = 1.0 / l2_safe
+    inv3 = 1.0 / l3_safe
+    ra = l2_safe * inv3
+    ra2 = ra * ra
+    rb2 = (l1 * l1) * jnp.abs(inv2 * inv3)
     s2 = l1 * l1 + l2 * l2 + l3 * l3
 
     smooth = jnp.exp(
-        -(2.0 * smooth_c * smooth_c) / (jnp.abs(l2_safe) * l3_safe * l3_safe)
+        -(2.0 * smooth_c * smooth_c) * jnp.abs(inv2) * (inv3 * inv3)
     )
     v = (
         smooth
@@ -295,6 +300,91 @@ def fused_vesselness_tensor(
     return flat[0], flat[1:]
 
 
+@functools.lru_cache(maxsize=32)
+def _make_assemble_fn(epsilon: float, omega: float, sensitivity: float):
+    """Final-stage math injected into the Pallas assembly kernel (lru-cached
+    so the kernel builder's cache keys stay stable per config).
+
+    Uses the rank-1 identity ``Q diag(d1, d1, d3) Q^T = d1 I +
+    (d3 - d1) q3 q3^T`` — because the reference weights the first two
+    (value-ascending) eigendirections identically
+    (itkVEDMultigridImageFilter.hxx:327-356), only the largest-eigenvalue
+    eigenvector is needed: ~3x less per-voxel vector math than the full
+    frame, bit-equal to ``generate_diffusion_tensor`` up to fp rounding
+    (and up to the arbitrary in-eigenspace choice on degenerate tops).
+    """
+
+    def assemble(resp, h, acos_fn):
+        _, q3 = eigh3(h, acos_fn=acos_fn, vectors_mode="largest")
+        v = jnp.power(jnp.maximum(resp, 0.0), 1.0 / sensitivity)
+        d1 = 1.0 + (epsilon - 1.0) * v
+        diff = (omega - epsilon) * v  # d3 - d1
+        active = v > 0
+        planes = []
+        for i, j in sym_pairs(3):
+            t_ij = diff * q3[i] * q3[j]
+            if i == j:
+                t_ij = t_ij + d1
+            ident = 1.0 if i == j else 0.0
+            planes.append(jnp.where(active, t_ij, ident))
+        return tuple(planes)
+
+    return assemble
+
+
+def _fused_scales_kernel(
+    u, scales, spacing, alpha, beta, gamma, epsilon, omega, sensitivity,
+    z_valid_radius, interpret: bool = False,
+):
+    """The Pallas fast path of :func:`_fused_scales` (smooth_fd mode): per
+    scale ONE fused FD-Hessian + eigenvalues + vesselness + running-select
+    pass over the smoothed field, then one fused eigenvector/tensor-assembly
+    pass (ops.pallas_vesselness).  Returns None when the shape/dtype is not
+    kernel-eligible (the caller falls back to the XLA formulation)."""
+    from ..ops.hessian import fd_factors, smoothed_field_valid_z
+    from ..ops.pallas_vesselness import (
+        pallas_fd_vesselness,
+        pallas_fd_vesselness_supported,
+        pallas_tensor_assembly,
+        pallas_tensor_assembly_supported,
+    )
+
+    nz = (
+        u.shape[0]
+        if z_valid_radius is None
+        else u.shape[0] - 2 * z_valid_radius
+    )
+    us_shape = (nz + 2, u.shape[1], u.shape[2])
+    itemsize = jnp.dtype(u.dtype).itemsize
+    if not pallas_fd_vesselness_supported(us_shape, itemsize, interpret):
+        return None
+
+    best = None
+    for sigma in scales:
+        us = smoothed_field_valid_z(
+            u, sigma, spacing, z_valid_radius, allow_pallas=not interpret
+        )
+        best = pallas_fd_vesselness(
+            us,
+            fd_factors(sigma, spacing, True),
+            (alpha, beta, gamma),
+            best,
+            measure_fn=vesselness_measure,
+            interpret=interpret,
+        )
+    resp, h = best
+    if pallas_tensor_assembly_supported(tuple(resp.shape), itemsize, interpret):
+        t = pallas_tensor_assembly(
+            resp, h, _make_assemble_fn(epsilon, omega, sensitivity),
+            interpret=interpret,
+        )
+    else:
+        h_math = tuple(p.astype(resp.dtype) for p in h)
+        _, q = eigh3(h_math)
+        t = generate_diffusion_tensor(resp, q, epsilon, omega, sensitivity)
+    return resp, t
+
+
 def _fused_scales(
     u, scales, spacing, alpha, beta, gamma, epsilon, omega, sensitivity,
     z_valid_radius, hessian_mode="gaussian_derivative",
@@ -311,6 +401,20 @@ def _fused_scales(
         if jnp.issubdtype(u.dtype, jnp.floating) and u.dtype.itemsize < 4
         else u.dtype
     )
+
+    if (
+        hessian_mode == "smooth_fd"
+        and allow_pallas
+        and u.ndim == 3
+        and jnp.issubdtype(u.dtype, jnp.floating)
+        and jax.default_backend() == "tpu"
+    ):
+        out = _fused_scales_kernel(
+            u, scales, spacing, alpha, beta, gamma, epsilon, omega,
+            sensitivity, z_valid_radius,
+        )
+        if out is not None:
+            return out
 
     def up(planes):
         if planes[0].dtype == math_dtype:

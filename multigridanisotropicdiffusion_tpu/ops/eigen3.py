@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 SymPlanes = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]
@@ -74,7 +75,7 @@ def eigvalsh3(planes: SymPlanes, acos_fn=jnp.arccos):
 
 
 def eigh3(planes: SymPlanes, compute_vectors: bool = True,
-          acos_fn=jnp.arccos):
+          acos_fn=jnp.arccos, vectors_mode: str = "full"):
     """Analytic eigendecomposition from symmetric component planes.
 
     Returns ``(w, v)``: ``w = (w0, w1, w2)`` eigenvalue planes ascending, and
@@ -83,48 +84,63 @@ def eigh3(planes: SymPlanes, compute_vectors: bool = True,
 
     ``acos_fn`` swaps the arccos implementation (:func:`acos_poly` inside
     Pallas TPU kernels, where the acos primitive has no Mosaic lowering).
+
+    ``vectors_mode='largest'`` computes only the eigenvector of the LARGEST
+    (signed) eigenvalue and returns it as a flat component tuple
+    ``v = (vx, vy, vz)`` — ~3x less vector math than the full frame.  The VED
+    tensor ``Q diag(d1, d1, d3) Q^T = d1 I + (d3 - d1) q3 q3^T`` needs only
+    that one direction.  On a two-fold-degenerate top eigenvalue the choice
+    within the eigenspace is an arbitrary deterministic unit vector (the full
+    mode makes a different arbitrary choice there).
     """
     a00, a01, a02, a11, a12, a22 = planes  # canonical symfield order
     dtype = a00.dtype
 
-    # Scale for numerical stability: work on A / max|A|.
+    # Scale for numerical stability: work on A / max|A|.  Divisions are
+    # VPU-expensive (multi-op reciprocal refinement), so the whole value path
+    # uses two reciprocals + multiplies instead of per-plane divides.
     scale = jnp.maximum(
         jnp.maximum(jnp.maximum(jnp.abs(a00), jnp.abs(a11)), jnp.abs(a22)),
         jnp.maximum(jnp.maximum(jnp.abs(a01), jnp.abs(a02)), jnp.abs(a12)),
     )
     scale_safe = jnp.where(scale > 0, scale, 1.0)
+    inv_scale = 1.0 / scale_safe
     a00, a11, a22, a01, a02, a12 = (
-        x / scale_safe for x in (a00, a11, a22, a01, a02, a12)
+        x * inv_scale for x in (a00, a11, a22, a01, a02, a12)
     )
 
-    q = (a00 + a11 + a22) / 3.0
+    q = (a00 + a11 + a22) * (1.0 / 3.0)
     p1 = a01 * a01 + a02 * a02 + a12 * a12
     b00, b11, b22 = a00 - q, a11 - q, a22 - q
     p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * p1
-    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 0.0))
+    p = jnp.sqrt(jnp.maximum(p2 * (1.0 / 6.0), 0.0))
     p_safe = jnp.where(p > 0, p, 1.0)
 
-    # det((A - q I) / p) / 2, clamped into acos's domain.
-    c00, c11, c22 = b00 / p_safe, b11 / p_safe, b22 / p_safe
-    c01, c02, c12 = a01 / p_safe, a02 / p_safe, a12 / p_safe
+    # det(A - q I) / (2 p^3), clamped into acos's domain.
     detb = (
-        c00 * (c11 * c22 - c12 * c12)
-        - c01 * (c01 * c22 - c12 * c02)
-        + c02 * (c01 * c12 - c11 * c02)
+        b00 * (b11 * b22 - a12 * a12)
+        - a01 * (a01 * b22 - a12 * a02)
+        + a02 * (a01 * a12 - b11 * a02)
     )
-    r = jnp.clip(detb / 2.0, -1.0, 1.0)
-    phi = acos_fn(r) / 3.0
+    inv_p = 1.0 / p_safe
+    inv_p3 = inv_p * inv_p * inv_p
+    r = jnp.clip(detb * inv_p3 * 0.5, -1.0, 1.0)
+    phi = acos_fn(r) * (1.0 / 3.0)
 
-    two_pi_3 = 2.0 * jnp.pi / 3.0
-    w_hi = q + 2.0 * p * jnp.cos(phi)
-    w_lo = q + 2.0 * p * jnp.cos(phi + two_pi_3)
+    # cos(phi + 2pi/3) = -cos(phi)/2 - (sqrt(3)/2) sin(phi); phi in [0, pi/3]
+    # so sin(phi) = sqrt(1 - cos^2) >= 0 — one transcendental instead of two.
+    # Near phi = 0 the sqrt loses ~half the bits of sin(phi), but there the
+    # sin term is O(phi) against the dominant -cos/2; the absolute eigenvalue
+    # error stays O(eps * p).
+    c = jnp.cos(phi)
+    s = jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0))
+    w_hi = q + 2.0 * p * c
+    w_lo = q + 2.0 * p * (-0.5 * c - (0.8660254037844386 * s))
     w_mid = 3.0 * q - w_hi - w_lo
-
-    # Degenerate (p == 0): a multiple of the identity.
-    isotropic = p2 <= 0
-    w_lo = jnp.where(isotropic, q, w_lo)
-    w_mid = jnp.where(isotropic, q, w_mid)
-    w_hi = jnp.where(isotropic, q, w_hi)
+    # Degenerate (p == 0, A = q I) needs no special case: p2 == 0 gives
+    # detb == 0 exactly (B == 0), r == 0, and the 2*p*cos terms vanish, so
+    # w == q falls out; the scaling above keeps inv_p3 finite for tiny p2
+    # (normalized entries are O(1), so p >= ~sqrt(eps) or exactly 0).
 
     w = (w_lo * scale_safe, w_mid * scale_safe, w_hi * scale_safe)
 
@@ -158,7 +174,7 @@ def eigh3(planes: SymPlanes, compute_vectors: bool = True,
         nbest = jnp.maximum(nbest, n2)
         rn = jnp.maximum(jnp.maximum(_dot(r0, r0), _dot(r1, r1)), _dot(r2, r2))
         ok = nbest > (64.0 * feps) ** 2 * rn * rn
-        inv = 1.0 / jnp.sqrt(jnp.where(ok, nbest, 1.0))
+        inv = jax.lax.rsqrt(jnp.where(ok, nbest, 1.0))
         return tuple(c * inv for c in best), ok
 
     def stable_perp(p_vec):
@@ -177,8 +193,23 @@ def eigh3(planes: SymPlanes, compute_vectors: bool = True,
             jnp.where(use_z, one, zero),
         )
         alt = _cross(p_vec, basis)
-        inv = 1.0 / jnp.sqrt(_dot(alt, alt))
+        inv = jax.lax.rsqrt(_dot(alt, alt))
         return tuple(c * inv for c in alt)
+
+    if vectors_mode == "largest":
+        # Only q3 (eigenvector of w_hi).  Where w_hi is (near-)degenerate
+        # with w_mid, mirror the full mode's choice: an arbitrary unit vector
+        # orthogonal to the well-conditioned w_lo eigenvector (stable_perp of
+        # the primary) — identical to full mode's secondary fallback.
+        v_hi_c, ok_hi = candidate(w_hi)
+        v_lo_c, ok_lo = candidate(w_lo)
+        one = jnp.ones_like(a00)
+        zero = jnp.zeros_like(a00)
+        primary = pick(ok_lo, v_lo_c, (one, zero, zero))
+        v3 = pick(ok_hi, v_hi_c, stable_perp(primary))
+        return w, v3
+    if vectors_mode != "full":
+        raise ValueError(f"unknown vectors_mode: {vectors_mode!r}")
 
     lam_lo = w_lo
     lam_hi = w_hi
@@ -196,17 +227,20 @@ def eigh3(planes: SymPlanes, compute_vectors: bool = True,
     zero = jnp.zeros_like(a00)
     ex = (one, zero, zero)
 
+    # bool-valued selects as logical ops: Mosaic cannot lower a select
+    # producing i1 ("unsupported target bitwidth for truncation"), and
+    # (c & a) | (~c & b) is the same function
     primary = pick(lo_primary, v_lo_c, v_hi_c)
-    primary_ok = jnp.where(lo_primary, ok_lo, ok_hi)
+    primary_ok = (lo_primary & ok_lo) | (~lo_primary & ok_hi)
     primary = pick(primary_ok, primary, ex)
 
     secondary = pick(lo_primary, v_hi_c, v_lo_c)
-    secondary_ok = jnp.where(lo_primary, ok_hi, ok_lo)
+    secondary_ok = (lo_primary & ok_hi) | (~lo_primary & ok_lo)
     dot = _dot(secondary, primary)
     sec_orth = tuple(s - dot * p for s, p in zip(secondary, primary))
     n_orth = _dot(sec_orth, sec_orth)
     sec_valid = jnp.logical_and(secondary_ok, n_orth > 0.25)
-    inv = 1.0 / jnp.sqrt(jnp.where(sec_valid, n_orth, 1.0))
+    inv = jax.lax.rsqrt(jnp.where(sec_valid, n_orth, 1.0))
     secondary = pick(
         sec_valid, tuple(c * inv for c in sec_orth), stable_perp(primary)
     )
