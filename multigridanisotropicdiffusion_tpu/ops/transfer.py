@@ -416,6 +416,23 @@ def prolong(
     commutes) so the minor-axis step — the only one needing lane interleaves
     or matmuls — runs on the *coarse*-sized array.
     """
+    if (
+        lane_mm and x.ndim == 3
+        and jnp.issubdtype(x.dtype, jnp.floating)
+        and jax.default_backend() == "tpu"
+    ):
+        # fused Pallas kernel (see ops.pallas_transfer): the XLA interleave
+        # form was the worst-SoL pass left in the V-cycle (~8.7% of SoL at
+        # 512^3)
+        from .pallas_transfer import (
+            pallas_prolong3d,
+            pallas_prolong_supported,
+        )
+
+        if pallas_prolong_supported(
+            tuple(x.shape), tuple(centering), jnp.dtype(x.dtype).itemsize
+        ):
+            return pallas_prolong3d(x)
     for d in reversed(range(x.ndim)):
         cent = centering[d]
         if (

@@ -58,3 +58,40 @@ def test_pallas_restrict_f32(rng):
     want = np.asarray(restrict(x, ("c",) * 3, lane_mm=False))
     got = np.asarray(pallas_restrict3d(x, interpret=True))
     np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# prolongation kernel
+# ---------------------------------------------------------------------------
+
+from multigridanisotropicdiffusion_tpu.ops.pallas_transfer import (  # noqa: E402
+    pallas_prolong3d,
+    pallas_prolong_supported,
+)
+from multigridanisotropicdiffusion_tpu.ops.transfer import prolong  # noqa: E402
+
+
+@pytest.mark.parametrize("coarse_shape", [
+    (4, 8, 128),
+    (5, 16, 256),
+    (8, 8, 128),
+    (2, 8, 128),
+])
+def test_pallas_prolong_matches_slice_path(rng, coarse_shape):
+    cent = ("c", "c", "c")
+    assert pallas_prolong_supported(coarse_shape, cent, 8, interpret=True)
+    x = jnp.asarray(rng.normal(size=coarse_shape))
+    want = np.asarray(prolong(x, cent, lane_mm=False))
+    got = np.asarray(pallas_prolong3d(x, interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-13)
+
+
+def test_pallas_prolong_support_gate():
+    c3 = ("c", "c", "c")
+    assert not pallas_prolong_supported((4, 8, 100), c3)    # cx % 128 != 0
+    assert not pallas_prolong_supported((1, 8, 128), c3)    # cz < 2
+    assert not pallas_prolong_supported((4, 12, 128), c3)   # cy: no tile
+    assert not pallas_prolong_supported((4, 8), ("c", "c"))
+    assert not pallas_prolong_supported((4, 8, 128), ("c", "v", "c"))
+    assert pallas_prolong_supported((4, 8, 128), c3)
