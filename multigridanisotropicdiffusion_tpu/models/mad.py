@@ -197,7 +197,23 @@ def build_hierarchy(
     elif operator_repr == "compressed":
         from ..ops.compressed import assemble_compressed_dca
 
-        make_op = lambda t, lvl: assemble_compressed_dca(t, lvl.spacing, time_step)
+        def make_op(t, lvl):
+            # fused Pallas assembly: the setup whale at 512^3 (~6x the XLA
+            # shifted-slice form).  lane_mm doubles as the "single device"
+            # flag — a pallas_call cannot be partitioned by GSPMD.
+            if lane_mm and jax.default_backend() == "tpu" and len(lvl.shape) == 3:
+                from ..ops.pallas_assemble import (
+                    pallas_assemble_compressed_dca,
+                    pallas_assemble_supported,
+                )
+
+                if pallas_assemble_supported(
+                    tuple(lvl.shape), jnp.dtype(t[0].dtype).itemsize
+                ):
+                    return pallas_assemble_compressed_dca(
+                        t, lvl.spacing, time_step
+                    )
+            return assemble_compressed_dca(t, lvl.spacing, time_step)
     else:
         make_op = lambda t, lvl: assemble_dca(t, lvl.spacing, time_step)
 
