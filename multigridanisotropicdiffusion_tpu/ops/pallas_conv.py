@@ -333,6 +333,102 @@ def pallas_conv_x(u: jnp.ndarray, kernel,
 
 
 # ---------------------------------------------------------------------------
+# fused y+x pass (both in-plane: one volume round-trip instead of two)
+# ---------------------------------------------------------------------------
+
+
+def _conv_yx_kernel(ty: int, r: int, nyb: int, tcx: int, nbands: int, *refs):
+    b0, b1, b2, wy_ref, wx_ref, out = refs
+    j = pl.program_id(1)
+    cd = jnp.float64 if b1.dtype.itemsize == 8 else jnp.float32
+    cat = jnp.concatenate(
+        [b0[0, ty - r:, :], b1[0], b2[0, :r, :]], axis=0
+    ).astype(cd)  # (ty + 2r, x)
+    idx = jnp.where(j == 0, 1, 0) + jnp.where(j == nyb - 1, 2, 0)
+    wy = wy_ref[idx].astype(cd)
+    q = jax.lax.dot_general(
+        wy, cat, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (ty, x)
+    pieces = []
+    for t in range(tcx):
+        acc = None
+        for i in range(nbands):
+            kf = t + i - (nbands // 2)
+            if not 0 <= kf < tcx:
+                continue
+            term = jax.lax.dot_general(
+                q[:, kf * _LANE:(kf + 1) * _LANE],
+                wx_ref[nbands * t + i].astype(cd),
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            acc = term if acc is None else acc + term
+        pieces.append(acc)
+    res = jnp.concatenate(pieces, axis=1) if len(pieces) > 1 else pieces[0]
+    out[...] = res[None].astype(out.dtype)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_conv_yx(shape: Tuple[int, ...], dtype_name: str, ty: int, ry: int,
+                   nbands: int, interpret: bool):
+    z, y, x = shape
+    dtype = jnp.dtype(dtype_name)
+    nyb = y // ty
+    tcx = x // _LANE
+
+    def blk(dj):
+        return pl.BlockSpec(
+            (1, ty, x),
+            lambda k, j, dj=dj: (k, jnp.clip(j + dj, 0, nyb - 1), 0),
+        )
+
+    specs = [blk(-1), blk(0), blk(1),
+             pl.BlockSpec((4, ty, ty + 2 * ry), lambda k, j: (0, 0, 0)),
+             pl.BlockSpec((nbands * tcx, _LANE, _LANE),
+                          lambda k, j: (0, 0, 0))]
+    kernel = functools.partial(_conv_yx_kernel, ty, ry, nyb, tcx, nbands)
+    return pl.pallas_call(
+        kernel,
+        grid=(z, nyb),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, ty, x), lambda k, j: (k, j, 0)),
+        out_shape=jax.ShapeDtypeStruct(shape, dtype),
+        interpret=interpret,
+    )
+
+
+def pallas_conv_yx_supported(shape: Tuple[int, ...], nwy: int, nwx: int,
+                             itemsize: int, interpret: bool = False) -> bool:
+    return (
+        pallas_conv_supported(shape, 1, nwy, itemsize, interpret=interpret)
+        and pallas_conv_supported(shape, 2, nwx, itemsize,
+                                  interpret=interpret)
+    )
+
+
+def pallas_conv_yx(u: jnp.ndarray, kernel_y, kernel_x,
+                   interpret: bool | None = None) -> jnp.ndarray:
+    """Fused edge-replicated correlation along axis 1 then axis 2 (one pass:
+    the separate y and x kernels each stream the volume once)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    z, y, x = u.shape
+    wy = tuple(float(w) for w in np.asarray(kernel_y, np.float64))
+    wxk = tuple(float(w) for w in np.asarray(kernel_x, np.float64))
+    ry = (len(wy) - 1) // 2
+    rx = (len(wxk) - 1) // 2
+    g = _granule(u.dtype.itemsize)
+    ty = _pick_tile(y, ry, g)
+    nb = 2 * ((rx + _LANE - 1) // _LANE) + 1
+    wy_arr = jnp.asarray(_y_band_variants(ty, wy, _compute_dtype(u.dtype)))
+    wx_arr = jnp.asarray(_x_conv_bands(x, wxk, _compute_dtype(u.dtype)))
+    call = _build_conv_yx(tuple(u.shape), jnp.dtype(u.dtype).name, ty, ry,
+                          nb, bool(interpret))
+    return call(u, u, u, wy_arr, wx_arr)
+
+
+# ---------------------------------------------------------------------------
 # dispatcher
 # ---------------------------------------------------------------------------
 
@@ -505,8 +601,9 @@ def pallas_fd_supported(shape: Tuple[int, ...], itemsize: int,
         return False
     zp, y, x = shape
     g = _granule(itemsize)
-    return zp >= 3 and x % _LANE == 0 and y % g == 0 and \
-        _pick_tile(y, 1, g) is not None
+    if x % _LANE and not interpret:  # lane tiling is Mosaic-only
+        return False
+    return zp >= 3 and y % g == 0 and _pick_tile(y, 1, g) is not None
 
 
 def pallas_fd_hessian(us: jnp.ndarray, facs: Tuple[float, ...],

@@ -233,9 +233,10 @@ def pallas_tensor_assembly_supported(
     _, y, x = shape
     from .pallas_conv import _LANE
 
+    if x % _LANE and not interpret:  # lane tiling is Mosaic-only
+        return False
     g = _granule(itemsize)
-    return x % _LANE == 0 and y % g == 0 and \
-        _pick_fdv_tile(y, x, itemsize) is not None
+    return y % g == 0 and _pick_fdv_tile(y, x, itemsize) is not None
 
 
 def pallas_tensor_assembly(

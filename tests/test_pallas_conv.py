@@ -121,3 +121,25 @@ def test_pallas_conv_support_gate():
     assert not pallas_conv_supported((12, 16), 1, 9, 4)       # 2D
     assert not pallas_conv_supported((12, 16, 256), 1, 9, 4, valid=True)
     assert pallas_conv_supported((12, 16, 256), 1, 9, 4)
+
+
+def test_pallas_conv_yx_matches_sequential(rng):
+    from multigridanisotropicdiffusion_tpu.ops.pallas_conv import (
+        pallas_conv_yx,
+        pallas_conv_yx_supported,
+    )
+    from multigridanisotropicdiffusion_tpu.ops.hessian import (
+        _conv_axis,
+        gaussian_kernels_1d,
+    )
+
+    shape = (6, 16, 256)
+    x = jnp.asarray(rng.normal(size=shape))
+    gy = gaussian_kernels_1d(1.1, 1.0)[0]
+    gx = gaussian_kernels_1d(1.1, 0.7)[0]
+    assert pallas_conv_yx_supported(shape, len(gy), len(gx), 8, interpret=True)
+    want = _conv_axis(_conv_axis(x, gy, 1, allow_pallas=False), gx, 2,
+                      allow_pallas=False)
+    got = pallas_conv_yx(x, gy, gx, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-12, atol=1e-13)
