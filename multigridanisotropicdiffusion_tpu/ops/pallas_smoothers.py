@@ -411,6 +411,176 @@ def _build_stencil_pass(shape: Tuple[int, ...], dtype_name: str, kind: str,
     return run
 
 
+# ---------------------------------------------------------------------------
+# 2D kernels — the reference's own primary test workloads (lena 2D diffusion,
+# test/itk2DDiffusionTest_GS.cxx) ran the XLA sweep at ~50% of HBM
+# speed-of-light; same fused structure as 3D minus the z machinery:
+# grid (y/ty,), (ty, x) blocks, y halos as granule-row blocks, x as rolls.
+# ---------------------------------------------------------------------------
+
+
+def _offdiag_contraction_2d(coeffs, sh):
+    """The 8-term off-diagonal contraction of the 2D compressed DCA operator
+    (coeffs = (fpy, fmy, fpx, fmx, myx))."""
+    fpy, fmy, fpx, fmx, myx = coeffs
+    off = fpy * sh(1, 0) + fmy * sh(-1, 0)
+    off += fpx * sh(0, 1) + fmx * sh(0, -1)
+    off += myx * (sh(1, 1) - sh(1, -1) - sh(-1, 1) + sh(-1, -1))
+    return off
+
+
+def _offdiag_contraction_stored_2d(offsets, coeffs, sh):
+    out = None
+    for off, c in zip(offsets, coeffs):
+        term = c * sh(off[0], off[1])
+        out = term if out is None else out + term
+    return out
+
+
+def _stencil_kernel_2d(
+    emit, contract, n_coeff: int, ty: int, hh: int, full_plane: bool,
+    y: int, *refs,
+):
+    j = pl.program_id(0)
+
+    def up(a):
+        return a.astype(jnp.float32) if a.dtype == jnp.bfloat16 else a
+
+    coeff_refs = refs[:n_coeff]
+    if full_plane:
+        xm, b, out = refs[n_coeff:]
+        plane = up(xm[...])
+
+        def sh(dy, dx):
+            return _roll(_roll(plane, dy, 0), dx, 1)
+
+        xc = plane
+    else:
+        xm, xt, xb, b, out = refs[n_coeff:]
+        # granule-row halo blocks: top's LAST row is global row j*ty - 1,
+        # bottom's FIRST row is (j+1)*ty; domain-border clamps are garbage
+        # multiplied by exactly-zero folded coefficients
+        padded = jnp.concatenate(
+            [up(xt[hh - 1:hh, :]), up(xm[...]), up(xb[0:1, :])], axis=0
+        )
+
+        def sh(dy, dx):
+            return _roll(padded[1 + dy:1 + dy + ty, :], dx, 1)
+
+        xc = padded[1:1 + ty]
+
+    coeffs = tuple(up(r[...]) for r in coeff_refs[: n_coeff - 1])
+    diag = up(coeff_refs[n_coeff - 1][...])
+    b_val = up(b[...])
+    off = contract(coeffs, sh)
+    emit(off, xc, diag, b_val, out, j)
+
+
+def _emit_halfsweep_2d(color: int, ty: int, off, xc, diag, b_val, out, j):
+    upd = (b_val - off) / diag
+    row = jax.lax.broadcasted_iota(jnp.int32, xc.shape, 0) + j * ty
+    col = jax.lax.broadcasted_iota(jnp.int32, xc.shape, 1)
+    parity = (row + col) % 2
+    out[...] = jnp.where(parity == color, upd, xc).astype(out.dtype)
+
+
+def _emit_residual_2d(off, xc, diag, b_val, out, j):
+    out[...] = (b_val - diag * xc - off).astype(out.dtype)
+
+
+#: block count of the 2D compressed kernel (6 coeffs + 3 x + b + out).
+_N_BLOCKS_COMPRESSED_2D = 11
+
+
+@functools.lru_cache(maxsize=64)
+def _build_stencil_pass_2d(shape: Tuple[int, ...], dtype_name: str, kind: str,
+                           color: int, ty: int, interpret: bool,
+                           offsets: Tuple[Tuple[int, ...], ...] | None = None):
+    y, x = shape
+    dtype = jnp.dtype(dtype_name)
+    full_plane = ty == y
+    g = _sublane_granule(dtype.itemsize)
+    hh = g
+    nh = ty // hh if not full_plane else 0
+
+    main = pl.BlockSpec((ty, x), lambda j: (j, 0))
+    if full_plane:
+        x_specs = [main]
+    else:
+        x_specs = [
+            main,
+            pl.BlockSpec((hh, x), lambda j: (jnp.maximum(j * nh - 1, 0), 0)),
+            pl.BlockSpec(
+                (hh, x), lambda j: (jnp.minimum((j + 1) * nh, y // hh - 1), 0)
+            ),
+        ]
+
+    if offsets is None:
+        n_coeff = 6
+        contract = _offdiag_contraction_2d
+    else:
+        offdiag = tuple(off for off in offsets if any(o != 0 for o in off))
+        n_coeff = len(offdiag) + 1
+        contract = functools.partial(_offdiag_contraction_stored_2d, offdiag)
+    specs = [main] * n_coeff + x_specs + [main]  # + b
+
+    if kind == "halfsweep":
+        emit = functools.partial(_emit_halfsweep_2d, color, ty)
+    elif kind == "residual":
+        emit = _emit_residual_2d
+    else:
+        raise ValueError(f"unknown kind: {kind!r}")
+
+    kernel = functools.partial(
+        _stencil_kernel_2d, emit, contract, n_coeff, ty, hh, full_plane, y
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(y // ty,),
+        in_specs=specs,
+        out_specs=main,
+        out_shape=jax.ShapeDtypeStruct(shape, dtype),
+        interpret=interpret,
+    )
+
+    def run(op, xf, b):
+        if offsets is None:
+            planes = (
+                op.face_p[0], op.face_m[0],
+                op.face_p[1], op.face_m[1],
+                op.mixed[0],
+                op.diag_plane,
+            )
+        else:
+            center = op.center_index
+            planes = tuple(
+                c for k, c in enumerate(op.coeffs) if k != center
+            ) + (op.diag,)
+        n_x = 1 if full_plane else 3
+        return call(*planes, *([xf] * n_x), b)
+
+    return run
+
+
+def _pick_y_tile_2d(y: int, x: int, itemsize: int, n_blocks: int) -> int | None:
+    """Largest granule-multiple (or full-plane) y tile fitting VMEM."""
+    g = _sublane_granule(itemsize)
+    budget = _VMEM_BUDGET_BYTES // (n_blocks * 2)
+    best = None
+    for ty in range(1, y + 1):
+        if y % ty != 0 or ty * x * itemsize > budget:
+            continue
+        if ty == y or (ty % g == 0 and y % g == 0):
+            best = ty
+    return best
+
+
+def _op_n_blocks_2d(op) -> int:
+    if isinstance(op, CompressedDCAOperator):
+        return _N_BLOCKS_COMPRESSED_2D
+    return len(op.offsets) + 4  # coeffs (incl diag) + 3 x + b + out
+
+
 def _kernel_offsets(op):
     """Static offset table for the kernel: None selects the fixed compressed
     form, a tuple the generic stored form."""
@@ -425,32 +595,43 @@ def _op_n_blocks(op) -> int:
 
 
 def pallas_compatible(op, max_radius: int = 2) -> bool:
-    """Whether ``op`` has a fused-kernel form: the compressed DCA operator or
-    any stored 3D operator of per-dim radius <= ``max_radius`` (collapsed
-    Galerkin levels are radius 1; exact Galerkin levels reach radius 2 and
-    run the radius-2 kernel variant).  The distributed shard-local form
-    supports radius 1 only — pass ``max_radius=1`` there.  Tiling
+    """Whether ``op`` has a fused-kernel form: the compressed DCA operator
+    (2D or 3D) or a stored operator of per-dim radius <= ``max_radius``
+    (collapsed Galerkin levels are radius 1; exact Galerkin 3D levels reach
+    radius 2 and run the radius-2 kernel variant; stored 2D is radius-1
+    only).  The distributed shard-local form supports 3D radius 1 only —
+    pass ``max_radius=1`` there and gate on ndim at the call site.  Tiling
     feasibility is a separate, shape-level check (:func:`pallas_supports`)."""
     if isinstance(op, CompressedDCAOperator):
-        return op.ndim == 3
-    return (
-        isinstance(op, StencilOperator)
-        and op.ndim == 3
-        and 1 <= op.radius <= max_radius
-    )
+        return op.ndim in (2, 3)
+    if not isinstance(op, StencilOperator):
+        return False
+    if op.ndim == 3:
+        return 1 <= op.radius <= max_radius
+    return op.ndim == 2 and op.radius == 1
 
 
 def _resolve_ty(op, shape, itemsize, ty):
-    if ty is None:
-        ty = pick_y_tile(shape[1], shape[2], itemsize, _op_n_blocks(op))
-    return ty
+    if ty is not None:
+        return ty
+    if len(shape) == 2:
+        return _pick_y_tile_2d(shape[0], shape[1], itemsize,
+                               _op_n_blocks_2d(op))
+    return pick_y_tile(shape[1], shape[2], itemsize, _op_n_blocks(op))
 
 
 def pallas_supports(
     shape, itemsize: int = 4, op=None
 ) -> bool:
-    """Whether a 3D grid shape has a y-tiling that fits the VMEM budget (for
-    ``op``'s block count; the compressed operator's when ``op`` is None)."""
+    """Whether a 2D/3D grid shape has a y-tiling that fits the VMEM budget
+    (for ``op``'s block count; the compressed operator's when ``op`` is
+    None)."""
+    if len(shape) == 2:
+        n_blocks = (
+            _N_BLOCKS_COMPRESSED_2D if op is None else _op_n_blocks_2d(op)
+        )
+        return _pick_y_tile_2d(shape[0], shape[1], itemsize,
+                               n_blocks) is not None
     n_blocks = _N_BLOCKS_COMPRESSED if op is None else _op_n_blocks(op)
     return (
         len(shape) == 3
@@ -479,6 +660,13 @@ def pallas_rbgs_halfsweep(
     ty = _resolve_ty(op, shape, x.dtype.itemsize, ty)
     if ty is None:
         raise ValueError(f"no y-tiling fits VMEM for shape {shape}")
+    if len(shape) == 2:
+        if local_mask:
+            raise ValueError("the shard-local masked form is 3D-only")
+        half = _build_stencil_pass_2d(shape, str(x.dtype), "halfsweep",
+                                      color, ty, interpret,
+                                      _kernel_offsets(op))
+        return half(op, x, b)
     half = _build_stencil_pass(shape, str(x.dtype), "halfsweep", color, ty,
                                interpret, local_mask, _kernel_offsets(op))
     return half(op, x, b)
@@ -500,7 +688,7 @@ def pallas_rbgs_sweep(
     height (must divide Y)."""
     if not pallas_compatible(op):
         raise ValueError(
-            "pallas_rbgs_sweep needs a 3D compressed or radius<=2 stored "
+            "pallas_rbgs_sweep needs a compressed or radius<=2 stored "
             f"operator (got {op!r})"
         )
     shape = tuple(x.shape)
@@ -511,9 +699,13 @@ def pallas_rbgs_sweep(
         return rb_gauss_seidel_sweep(op, x, b)
     dtype_name = str(x.dtype)
     offsets = _kernel_offsets(op)
+    build = (
+        _build_stencil_pass_2d if len(shape) == 2
+        else functools.partial(_build_stencil_pass, local_mask=False)
+    )
     for color in (0, 1):
-        half = _build_stencil_pass(shape, dtype_name, "halfsweep", color, ty,
-                                   interpret, offsets=offsets)
+        half = build(shape, dtype_name, "halfsweep", color, ty,
+                     interpret, offsets=offsets)
         x = half(op, x, b)
     return x
 
@@ -534,7 +726,7 @@ def pallas_residual(
     :func:`pallas_supports` first)."""
     if not pallas_compatible(op):
         raise ValueError(
-            "pallas_residual needs a 3D compressed or radius<=2 stored "
+            "pallas_residual needs a compressed or radius<=2 stored "
             f"operator (got {op!r})"
         )
     shape = tuple(x.shape)
@@ -543,6 +735,12 @@ def pallas_residual(
         if local_mask:
             raise ValueError(f"no y-tiling fits VMEM for shape {shape}")
         return b - op.apply(x)
+    if len(shape) == 2:
+        if local_mask:
+            raise ValueError("the shard-local masked form is 3D-only")
+        run = _build_stencil_pass_2d(shape, str(x.dtype), "residual", 0, ty,
+                                     interpret, _kernel_offsets(op))
+        return run(op, x, b)
     run = _build_stencil_pass(shape, str(x.dtype), "residual", 0, ty,
                               interpret, local_mask, _kernel_offsets(op))
     return run(op, x, b)

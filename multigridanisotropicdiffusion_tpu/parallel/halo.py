@@ -392,12 +392,12 @@ def make_halo_residual(mesh: Mesh, spec: PartitionSpec, overlap: bool = False):
 
 def _pallas_ok(op, x_l) -> bool:
     # max_radius=1: the shard-local masked kernels and the slab splice are
-    # radius-1 only (exact-Galerkin radius-2 levels use the XLA halo path)
+    # radius-1 only (exact-Galerkin radius-2 levels use the XLA halo path);
+    # 3D only — the 2D kernels have no shard-local masked form
     from ..ops.pallas_smoothers import pallas_compatible, pallas_supports
 
-    return pallas_compatible(op, max_radius=1) and pallas_supports(
-        tuple(x_l.shape), x_l.dtype.itemsize, op
-    )
+    return x_l.ndim == 3 and pallas_compatible(op, max_radius=1) and \
+        pallas_supports(tuple(x_l.shape), x_l.dtype.itemsize, op)
 
 
 def _halfsweep_slab_fix(

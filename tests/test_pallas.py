@@ -85,12 +85,57 @@ def test_pallas_residual_matches_xla(rng):
                                    err_msg=f"shape={shape} ty={ty}")
 
 
-def test_pallas_rejects_2d(rng):
-    shape = (8, 8)
-    tensor = make_spd_tensor_field(rng, shape, 2)
+def test_pallas_2d_compressed_matches_xla(rng):
+    """Round-5 2D kernels: the reference's own primary workload class
+    (test/itk2DDiffusionTest_GS.cxx) now has a fused sweep too."""
+    for shape, spacing in (((16, 24), (1.0, 0.7)), ((13, 11), (0.5, 1.0)),
+                           ((64, 32), (1.0, 1.0))):
+        tensor = make_spd_tensor_field(rng, shape, 2, hi=3.0)
+        comp = assemble_compressed_dca(
+            as_sym_planes(tensor, shape), spacing, 0.1
+        )
+        x = jnp.asarray(rng.normal(size=shape))
+        b = jnp.asarray(rng.normal(size=shape))
+        got = np.asarray(pallas_rbgs_sweep(comp, x, b, interpret=True))
+        want = np.asarray(rb_gauss_seidel_sweep(comp, x, b))
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12,
+                                   err_msg=str(shape))
+        gr = np.asarray(pallas_residual(comp, x, b, interpret=True))
+        wr = np.asarray(b - comp.apply(x))
+        np.testing.assert_allclose(gr, wr, rtol=1e-12, atol=1e-12)
+
+
+def test_pallas_2d_y_tiled(rng):
+    """2D with a y-tile smaller than Y (granule-row halo blocks)."""
+    from multigridanisotropicdiffusion_tpu.ops.pallas_smoothers import (
+        pallas_rbgs_halfsweep,
+    )
+
+    shape = (32, 16)
+    tensor = make_spd_tensor_field(rng, shape, 2, hi=2.0)
     comp = assemble_compressed_dca(as_sym_planes(tensor, shape), (1.0, 1.0), 0.1)
-    with pytest.raises(ValueError):
-        pallas_rbgs_sweep(comp, jnp.zeros(shape), jnp.zeros(shape), interpret=True)
+    x = jnp.asarray(rng.normal(size=shape))
+    b = jnp.asarray(rng.normal(size=shape))
+    got = pallas_rbgs_halfsweep(comp, x, b, 0, interpret=True, ty=8)
+    got = np.asarray(
+        pallas_rbgs_halfsweep(comp, got, b, 1, interpret=True, ty=8)
+    )
+    want = np.asarray(rb_gauss_seidel_sweep(comp, x, b))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_pallas_2d_stored_matches_xla(rng):
+    """Generic 2D stored radius-1 operator (collapsed-Galerkin-style)."""
+    from multigridanisotropicdiffusion_tpu.ops.dca import assemble_dca
+
+    shape = (16, 16)
+    tensor = make_spd_tensor_field(rng, shape, 2, hi=2.0)
+    op = assemble_dca(as_sym_planes(tensor, shape), (1.0, 1.0), 0.1)
+    x = jnp.asarray(rng.normal(size=shape))
+    b = jnp.asarray(rng.normal(size=shape))
+    got = np.asarray(pallas_rbgs_sweep(op, x, b, interpret=True))
+    want = np.asarray(rb_gauss_seidel_sweep(op, x, b))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
 
 
 def test_pallas_bf16_blocks(rng):

@@ -226,18 +226,35 @@ def render_2d(bench: dict) -> str:
     s = bench["extra"].get("solve_2d_4096")
     if not s:
         return "_(no solve_2d_4096 block in this artifact)_"
+    if "pallas_sweep_s" not in s:
+        # pre-round-5 artifact: no 2D kernel datum yet
+        return "\n".join([
+            "The reference's own 2D workload class at 4096² (lena tensor "
+            "diag(50, 30),\n`bench.py --single 4096 --2d-only`): the XLA "
+            "red-black sweep runs at\n"
+            f"{_g(s['stored_updates_per_s'])} voxel-updates/s stored "
+            f"({_pct(s['stored_pct_sol'])} of HBM speed-of-light) and\n"
+            f"{_g(s['compressed_updates_per_s'])} compressed "
+            f"({_pct(s['compressed_pct_sol'])}); a full implicit step solves "
+            f"to 1e-6 in\n**{_ms(s['solve_to_1e-6_s'])} ms** "
+            f"({s['solve_cycles']} V-cycles, setup warm "
+            f"{_f(s['setup_warm_s'], 3)} s).",
+        ])
+    speedup = s["compressed_sweep_s"] / s["pallas_sweep_s"]
     return "\n".join([
         "The reference's own 2D workload class at 4096² (lena tensor "
         "diag(50, 30),\n`bench.py --single 4096 --2d-only`): the XLA "
         "red-black sweep runs at\n"
         f"{_g(s['stored_updates_per_s'])} voxel-updates/s stored "
-        f"({_pct(s['stored_pct_sol'])} of HBM speed-of-light) and\n"
+        f"({_pct(s['stored_pct_sol'])} of its HBM traffic model) and\n"
         f"{_g(s['compressed_updates_per_s'])} compressed "
-        f"({_pct(s['compressed_pct_sol'])}); a full implicit step solves to "
-        f"1e-6 in\n**{_ms(s['solve_to_1e-6_s'])} ms** "
-        f"({s['solve_cycles']} V-cycles, setup warm "
-        f"{_f(s['setup_warm_s'], 3)} s).  2D sweeps are near\nspeed-of-light "
-        "in plain XLA, so no 2D Pallas kernel is needed.",
+        f"({_pct(s['compressed_pct_sol'])}) — round 4 wrongly called that "
+        "\"near speed-of-light\";\nthe round-5 fused 2D Pallas sweep "
+        f"measures **{_g(s['pallas_updates_per_s'])} updates/s** "
+        f"({_f(speedup, 2)}× the XLA\nform), and the full implicit step "
+        f"(Pallas sweeps + residual) solves to 1e-6 in\n"
+        f"**{_ms(s['solve_to_1e-6_s'])} ms** ({s['solve_cycles']} V-cycles, "
+        f"setup warm {_f(s['setup_warm_s'], 3)} s).",
     ])
 
 
