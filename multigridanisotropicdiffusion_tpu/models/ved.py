@@ -69,6 +69,7 @@ class VEDConfig:
     max_cycles: int = 100  # hardcoded in DiffusionStep (.hxx:396)
     coarse_operator: str = "dca"
     galerkin_variant: str = "collapsed"  # see MADConfig.galerkin_variant
+    galerkin_prune_tol: float = 0.0  # see MADConfig.galerkin_prune_tol
     operator_repr: str = "stored"
     matrix_free: bool = False
     use_pallas: bool = False
@@ -127,6 +128,7 @@ class VEDConfig:
             smoother=self.smoother,
             coarse_operator=self.coarse_operator,
             galerkin_variant=self.galerkin_variant,
+            galerkin_prune_tol=self.galerkin_prune_tol,
             operator_repr=self.operator_repr,
             matrix_free=self.matrix_free,
             use_pallas=self.use_pallas,

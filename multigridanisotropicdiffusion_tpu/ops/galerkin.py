@@ -194,6 +194,48 @@ def collapse_to_radius1(op: StencilOperator) -> StencilOperator:
     return StencilOperator(tuple(acc[off] for off in offsets), offsets)
 
 
+def prune_stored_operator(op: StencilOperator, tol: float) -> StencilOperator:
+    """Drop coefficient planes whose ``max |c| < tol * max |diag|``, lumping
+    each dropped plane onto its component-wise clipped radius-1 offset — row
+    sums are preserved exactly and the boundary invariant survives (the
+    :func:`collapse_to_radius1` argument).  ``tol=0`` returns ``op``.
+
+    Data-dependent: the keep decision reads the per-plane maxima on the host
+    (a K-scalar transfer), so this runs OUTSIDE jit — downstream jitted
+    consumers retrace per resulting offset structure.  Measured on random
+    SPD hierarchies: the exact Galerkin operator has NO numerically-zero
+    planes (none below 1e-8 relative), so pruning is a lossy speed/accuracy
+    knob, not free lunch — at 1e-4 it keeps 57-80% of the planes, and
+    matching the collapsed variant's cost needs 1e-2-level lumping.
+    """
+    if tol <= 0 or op.radius <= 1:
+        return op
+    import numpy as np
+
+    maxes = np.asarray(
+        jax.jit(lambda cs: jnp.stack([jnp.max(jnp.abs(c)) for c in cs]))(
+            op.coeffs
+        )
+    )
+    center = op.center_index
+    floor = float(tol) * float(maxes[center])
+    acc = {}
+    zero = (0,) * op.ndim
+
+    def add(off, plane):
+        acc[off] = plane if off not in acc else acc[off] + plane
+
+    for k, (off, plane) in enumerate(zip(op.offsets, op.coeffs)):
+        if k == center or off == zero or maxes[k] >= floor:
+            add(off, plane)
+        else:
+            add(tuple(max(-1, min(1, o)) for o in off), plane)
+    # deterministic order: original offsets first, then any new lump targets
+    offsets = [off for off in op.offsets if off in acc]
+    offsets += [off for off in acc if off not in set(offsets)]
+    return StencilOperator(tuple(acc[off] for off in offsets), tuple(offsets))
+
+
 def _resolve_method(fine_op, method: str) -> str:
     if method == "auto":
         try:

@@ -250,3 +250,59 @@ def test_exact_galerkin_solver_with_pallas(rng):
     assert int(got.num_cycles[0]) == int(ref.num_cycles[0])
     np.testing.assert_allclose(np.asarray(got.output), np.asarray(ref.output),
                                rtol=1e-9, atol=1e-9)
+
+
+def test_exact_galerkin_pruning_convergence_parity(rng):
+    """galerkin_prune_tol: pruned exact hierarchies preserve row sums and
+    converge to the same solution in the same cycle count class
+    (ops.galerkin.prune_stored_operator)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from multigridanisotropicdiffusion_tpu.models.mad import (
+        MADConfig,
+        mad_diffusion,
+    )
+    from multigridanisotropicdiffusion_tpu.ops.galerkin import (
+        prune_stored_operator,
+    )
+    from multigridanisotropicdiffusion_tpu.core.grids import (
+        build_level_descriptors,
+    )
+    from multigridanisotropicdiffusion_tpu.models.mad import build_hierarchy
+
+    shape = (24, 24, 24)
+    a = rng.normal(size=(3, 3, *shape))
+    m = np.einsum("ij...,kj...->ik...", a, a)
+    m += np.eye(3)[:, :, None, None, None]
+    tensor = tuple(
+        jnp.asarray(m[i, j]) for i, j in ((0, 0), (0, 1), (0, 2), (1, 1),
+                                          (1, 2), (2, 2))
+    )
+    image = rng.normal(size=shape) * 10.0
+
+    # row sums preserved exactly by the lumping
+    levels = build_level_descriptors(shape, (1.0, 1.0, 1.0))
+    h = build_hierarchy(tensor, levels, 0.1, "galerkin", "stored", "exact")
+    op = h.operators[1]
+    pruned = prune_stored_operator(op, 1e-4)
+    assert len(pruned.offsets) < len(op.offsets)
+    ones = jnp.ones(op.shape)
+    np.testing.assert_allclose(
+        np.asarray(pruned.apply(ones)), np.asarray(op.apply(ones)),
+        rtol=1e-12, atol=1e-12,
+    )
+
+    base = MADConfig(time_step=0.1, tolerance=1e-9, max_cycles=40,
+                     coarse_operator="galerkin", galerkin_variant="exact")
+    ref = mad_diffusion(image, tensor, config=base)
+    got = mad_diffusion(
+        image, tensor,
+        config=dataclasses.replace(base, galerkin_prune_tol=1e-4),
+    )
+    assert float(got.final_residual[0]) <= 1e-9
+    assert abs(int(got.num_cycles[0]) - int(ref.num_cycles[0])) <= 1
+    np.testing.assert_allclose(
+        np.asarray(got.output), np.asarray(ref.output), rtol=1e-7, atol=1e-7
+    )

@@ -86,3 +86,9 @@ def test_two_process_multihost_solve(tmp_path):
         assert res["final_relres"] <= 1e-9, (halo, res)
         assert res["num_cycles"] == verdict["ref_num_cycles"], (halo, res)
         assert res["max_abs_diff_vs_single"] < 1e-9, (halo, res)
+    # VED end to end across both processes (sharded kernel pipeline + solve)
+    v = verdict["ved"]
+    assert v["kernel_pipeline_engaged"], v
+    assert v["final_relres"] <= 1e-8, v
+    # interpret-kernel arccos polynomial (~2e-8 rel) is the accuracy floor
+    assert v["max_abs_diff_vs_single"] < 1e-5 * max(v["out_scale"], 1.0), v
