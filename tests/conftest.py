@@ -41,3 +41,14 @@ def make_spd_tensor_field(rng, shape, ndim, lo=1.0, hi=10.0, dtype=np.float64):
 @pytest.fixture
 def spd_tensor():
     return make_spd_tensor_field
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound accumulated compiled-executable state: the full suite holds
+    ~300 XLA CPU programs by its last third, and the heavy 8-device FMG
+    shard_map compiles there have been observed to abort inside
+    backend_compile under that load (the same tests pass when run fresh).
+    Clearing per module keeps intra-module cache reuse."""
+    yield
+    jax.clear_caches()

@@ -127,7 +127,9 @@ def test_fused_vesselness_valid_z_slab():
 
 
 def test_fused_vesselness_ineligible_shape_returns_none():
-    u = _volume((8, 16, 100))  # x % 128 != 0
+    # y with no granule-multiple tiling is ineligible in every mode (the
+    # x % 128 lane constraint is Mosaic-only and lifted under interpret)
+    u = _volume((8, 12, 128))
     out = _fused_scales_kernel(
         u, SCALES, SPACING, PARAMS["alpha"], PARAMS["beta"], PARAMS["gamma"],
         PARAMS["epsilon"], PARAMS["omega"], PARAMS["sensitivity"], None,
