@@ -118,10 +118,17 @@ def make_sharded_vesselness_pipeline(
         resp, t = out
         return (resp, *t)
 
-    sharded = shard_map(
-        local_fn, mesh=zmesh, in_specs=(spec,),
-        out_specs=(spec,) * 7, check_rep=False,
-    )
+    try:
+        # jax >= 0.8 API (check_vma replaced check_rep)
+        sharded = shard_map(
+            local_fn, mesh=zmesh, in_specs=(spec,),
+            out_specs=(spec,) * 7, check_vma=False,
+        )
+    except TypeError:  # pragma: no cover - older jax
+        sharded = shard_map(
+            local_fn, mesh=zmesh, in_specs=(spec,),
+            out_specs=(spec,) * 7, check_rep=False,
+        )
 
     @jax.jit
     def pipeline(u):

@@ -158,6 +158,24 @@ def render_ved(bench: dict) -> str:
         "separately-warmed phases) with\n`hessian_mode='smooth_fd'` + "
         "`pipeline_dtype='bfloat16'` +\n`defect_dtype='bfloat16'`.",
     ]
+    if "ved_e2e_fmg_solve_to_1e-6_s" in v:
+        fmg_s = v["ved_e2e_fmg_solve_to_1e-6_s"]
+        ref_s = v["ved_solve_bf16_to_1e-6_s"]
+        verdict = "adopted" if v.get("ved_e2e_fmg_adopted") else \
+            "slower — the FMG init costs more than the cycle it saves, " \
+            "so V-cycles stay the default"
+        lines += [
+            "",
+            f"FMG datum: {_f(fmg_s, 3)} s ({v['ved_e2e_fmg_cycles']} cycles) "
+            f"vs {_f(ref_s, 3)} s V-cycles — {verdict}.",
+        ]
+    if "ved_pipeline_dist_over_plain" in v:
+        lines += [
+            f"The shard_map-distributed kernel pipeline costs "
+            f"{_f(v['ved_pipeline_dist_over_plain'])}× the plain one on a "
+            "1-device mesh\n(`ved_pipeline_dist_over_plain` — the "
+            "distribution wrapping is free)."
+        ]
     return "\n".join(lines)
 
 
